@@ -1,0 +1,199 @@
+"""Whole-body planar quadruped dynamics — TPU-native replacement for the
+reference's generated-C layer (CasadiGen/source/Dyn_*.c, Imp_*.c).
+
+State x = (q, qd) with q = (x, z, pitch, q_Fhip, q_Fknee, q_Hhip, q_Hknee),
+control u = 4 joint torques, output y = (Fx_F, Fz_F, Fx_H, Fz_H) ground
+reaction forces (stance) or contact impulses (impact maps).
+
+Formulation: Lagrangian rigid-body dynamics built from the identified
+standard inertial parameters (params.py).  Contact modes
+(1=back-stance, 2/4=flight, 3=front-stance; PlanarQuadruped.cpp:12-24) solve
+the pinned-foot KKT system; impacts are plastic (PlanarQuadruped.cpp:58-78).
+Validated against all reference kernels to <=1e-9 absolute
+(tests/test_dynamics.py).
+
+Derivatives come from `jax.jacfwd` over these functions: the reference's
+analytic Dyn_*_par / Imp_*_par kernels are reproduced to the same tolerance.
+Everything is jit/vmap/scan-friendly: fixed shapes, no data-dependent Python
+control flow (the contact mode is a static per-phase attribute).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import kinematics as K
+from .params import GRAVITY, PI_STANDARD
+
+# contact mode ids (Gait.h:23: BOUND mode cycle 1->2->3->4)
+BACK_STANCE, FLIGHT1, FRONT_STANCE, FLIGHT2 = 1, 2, 3, 4
+
+_PI = jnp.asarray(PI_STANDARD)
+
+
+def _link_origin_angle(q):
+    origins, angles = K.link_frames(q)
+    return origins[:5], angles[:5]
+
+
+def kinetic_energy(q, qd):
+    """Total KE via the standard inertial parameters (linear in each link's
+    (m, m cx, m cz, I_origin)); see tools/sysid.py for the derivation."""
+    o_fn = lambda qq: _link_origin_angle(qq)[0]
+    a_fn = lambda qq: _link_origin_angle(qq)[1]
+    vo = jax.jvp(o_fn, (q,), (qd,))[1]
+    w = jax.jvp(a_fn, (q,), (qd,))[1]
+    _, ang = _link_origin_angle(q)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    m, mcx, mcz, io = _PI[:, 0], _PI[:, 1], _PI[:, 2], _PI[:, 3]
+    # d/dt [R(th) c] = w * dR/dth c with dR/dth = [[-s, c], [-c, -s]]
+    dRc = jnp.stack([-s * mcx + c * mcz, -c * mcx - s * mcz], axis=1)
+    return jnp.sum(
+        0.5 * m * jnp.sum(vo * vo, axis=1)
+        + w * jnp.sum(vo * dRc, axis=1)
+        + 0.5 * io * w**2
+    )
+
+
+def potential_energy(q):
+    origins, ang = _link_origin_angle(q)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    m, mcx, mcz = _PI[:, 0], _PI[:, 1], _PI[:, 2]
+    return GRAVITY * jnp.sum(m * origins[:, 1] + (-s * mcx + c * mcz))
+
+
+def mass_matrix(q):
+    """M(q) (7,7), symmetric positive definite."""
+    return jax.hessian(lambda qd: kinetic_energy(q, qd))(jnp.zeros_like(q))
+
+
+def bias_forces(q, qd):
+    """C(q,qd) qd + g(q): Coriolis/centrifugal + gravity generalized forces."""
+    p_fn = lambda qq: jax.grad(kinetic_energy, argnums=1)(qq, qd)
+    dpdq_qd = jax.jvp(p_fn, (q,), (qd,))[1]
+    return (
+        dpdq_qd
+        - jax.grad(kinetic_energy, argnums=0)(q, qd)
+        + jax.grad(potential_energy)(q)
+    )
+
+
+def _actuation(u):
+    """Joint torques act on q[3:7] (S^T u)."""
+    return jnp.concatenate([jnp.zeros(3, dtype=u.dtype), u])
+
+
+def _foot_fn(foot):
+    return K.front_foot_position if foot == 0 else K.hind_foot_position
+
+
+def _foot_J_Jd(q, qd, foot):
+    fn = _foot_fn(foot)
+    J = jax.jacfwd(fn)(q)
+    Jd = jax.jvp(lambda qq: jax.jacfwd(fn)(qq), (q,), (qd,))[1]
+    return J, Jd
+
+
+def _grf_vector(F, foot):
+    """Scatter a single foot's force into y = (Fx_F, Fz_F, Fx_H, Fz_H)."""
+    z = jnp.zeros(2, dtype=F.dtype)
+    return jnp.concatenate([F, z]) if foot == 0 else jnp.concatenate([z, F])
+
+
+def flight_xdot(x, u):
+    """Continuous dynamics, flight (Dyn_FL.c): y = 0."""
+    q, qd = x[:7], x[7:]
+    qdd = jnp.linalg.solve(mass_matrix(q), _actuation(u) - bias_forces(q, qd))
+    return jnp.concatenate([qd, qdd]), jnp.zeros(4, dtype=x.dtype)
+
+
+def stance_xdot(x, u, foot):
+    """Continuous dynamics with one foot pinned (Dyn_BS.c foot=1 /
+    Dyn_FS.c foot=0); y = ground-reaction force of the stance foot.
+
+    KKT system:  [M  -J^T] [qdd]   [S^T u - bias]
+                 [J    0 ] [ F ] = [  -Jd qd    ]
+    """
+    q, qd = x[:7], x[7:]
+    M = mass_matrix(q)
+    J, Jd = _foot_J_Jd(q, qd, foot)
+    kkt = jnp.block([[M, -J.T], [J, jnp.zeros((2, 2), dtype=x.dtype)]])
+    rhs = jnp.concatenate([_actuation(u) - bias_forces(q, qd), -Jd @ qd])
+    sol = jnp.linalg.solve(kkt, rhs)
+    qdd, F = sol[:7], sol[7:]
+    return jnp.concatenate([qd, qdd]), _grf_vector(F, foot)
+
+
+def wb_xdot(x, u, mode):
+    """Mode-switched continuous dynamics. `mode` is a static Python int."""
+    if mode == BACK_STANCE:
+        return stance_xdot(x, u, 1)
+    if mode == FRONT_STANCE:
+        return stance_xdot(x, u, 0)
+    return flight_xdot(x, u)
+
+
+def wb_step(x, u, mode, dt):
+    """Explicit-Euler discrete step (PlanarQuadruped.cpp:26): x+ = x + xdot dt."""
+    xdot, y = wb_xdot(x, u, mode)
+    return x + xdot * dt, y
+
+
+def wb_step_jac(x, u, mode, dt):
+    """Discrete-time derivatives matching PlanarQuadruped::dynamics_par
+    (.cpp:50-52): A = I + Ac dt, B = Bc dt; C = dy/dx, D = dy/du."""
+    fx = lambda xx: wb_xdot(xx, u, mode)
+    fu = lambda uu: wb_xdot(x, uu, mode)
+    (Ac, C) = jax.jacfwd(fx)(x)
+    (Bc, D) = jax.jacfwd(fu)(u)
+    n = x.shape[0]
+    A = jnp.eye(n, dtype=x.dtype) + Ac * dt
+    B = Bc * dt
+    return A, B, C, D
+
+
+def impact_map(x, foot):
+    """Plastic impact (Imp_F.c foot=0 / Imp_B.c foot=1):
+    qd+ = qd - M^-1 J^T (J M^-1 J^T)^-1 J qd; y = contact impulse."""
+    q, qd = x[:7], x[7:]
+    M = mass_matrix(q)
+    J = jax.jacfwd(_foot_fn(foot))(q)
+    MinvJT = jnp.linalg.solve(M, J.T)
+    lam = jnp.linalg.solve(J @ MinvJT, J @ qd)
+    qd_post = qd - MinvJT @ lam
+    return jnp.concatenate([q, qd_post]), _grf_vector(-lam, foot)
+
+
+def resetmap(x, mode):
+    """Reset map at end-of-phase (PlanarQuadruped::resetmap, .cpp:58-78):
+    identity for stance modes (1, 3); impact for flight modes
+    (mode 2 -> front impact, mode 4 -> back impact)."""
+    if mode in (BACK_STANCE, FRONT_STANCE):
+        return x, jnp.zeros(4, dtype=x.dtype)
+    return impact_map(x, 0 if mode == FLIGHT1 else 1)
+
+
+def resetmap_jac(x, mode):
+    """Px = d resetmap / dx (Imp_*_par kernels; identity for stance)."""
+    if mode in (BACK_STANCE, FRONT_STANCE):
+        return jnp.eye(x.shape[0], dtype=x.dtype)
+    return jax.jacfwd(lambda xx: resetmap(xx, mode)[0])(x)
+
+
+def touchdown_constraint(x, mode, ground_height):
+    """Switching-surface terminal constraint for flight phases
+    (WB_FL1/2_terminal_constr.c): h = z_foot(q) - ground_height."""
+    foot = 0 if mode == FLIGHT1 else 1
+    q = x[:7]
+    return _foot_fn(foot)(q)[1] - ground_height
+
+
+def touchdown_constraint_jac(x, mode, ground_height):
+    """(h, hx, hxx) matching the reference kernels' dense outputs."""
+    f = lambda xx: touchdown_constraint(xx, mode, ground_height)
+    h = f(x)
+    hx = jax.grad(f)(x)
+    hxx = jax.hessian(f)(x)
+    return h, hx, hxx

@@ -1,0 +1,17 @@
+"""Test configuration: run on a virtual 8-device CPU mesh in float64.
+
+The axon sitecustomize in this image force-registers a remote TPU backend and
+overrides JAX_PLATFORMS from the environment, so we switch platforms via
+jax.config *after* import (which wins), plus set the host-device-count flag
+before the backend is initialized.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

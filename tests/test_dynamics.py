@@ -1,0 +1,134 @@
+"""Golden tests: JAX dynamics vs the reference's generated CasADi kernels.
+
+Probes in tests/golden/kernel_probes.npz were captured by evaluating every
+generated kernel (Dyn_*, Imp_*, Jacob_*, WB_FL*_terminal_constr, FBDynamics)
+at 400 random states through the reference's own casadi_interface scatter
+(see tools/pack_golden.py).  These are the reference's ground truth; our
+model must reproduce them to float64 round-off (the kernels accumulate
+~1e-9 absolute error at |qdd| ~ 1e3, i.e. ~1e-12 relative).
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mhpc_minimal_env_tpu.models import kinematics as K
+from mhpc_minimal_env_tpu.models import quadruped as Q
+from mhpc_minimal_env_tpu.models import floating_base as FB
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "kernel_probes.npz")
+
+
+@pytest.fixture(scope="module")
+def probes():
+    return np.load(GOLDEN)
+
+
+def colmajor(a, n, r, c):
+    return a.reshape(n, c, r).transpose(0, 2, 1)
+
+
+def test_foot_jacobians(probes):
+    X = probes["x"]
+    n = X.shape[0]
+    for key, fn in [("jac_f", K.front_foot_jacobian), ("jac_b", K.hind_foot_jacobian)]:
+        J, Jd = jax.jit(jax.vmap(fn))(X[:, :7], X[:, 7:])
+        ref = probes[key]
+        assert np.abs(np.asarray(J) - colmajor(ref[:, :14], n, 2, 7)).max() < 1e-12
+        assert np.abs(np.asarray(Jd) - colmajor(ref[:, 14:], n, 2, 7)).max() < 1e-12
+
+
+@pytest.mark.parametrize(
+    "key,mode", [("dyn_fl", 2), ("dyn_bs", 1), ("dyn_fs", 3)]
+)
+def test_wb_continuous_dynamics(probes, key, mode):
+    X, U = probes["x"], probes["u"]
+    xdot, y = jax.jit(jax.vmap(lambda x, u: Q.wb_xdot(x, u, mode)))(X, U)
+    ref = probes[key]
+    assert np.abs(np.asarray(xdot) - ref[:, :14]).max() < 1e-7
+    assert np.abs(np.asarray(y) - ref[:, 14:]).max() < 1e-8
+
+
+@pytest.mark.parametrize("key,mode", [("par_fl", 2), ("par_bs", 1), ("par_fs", 3)])
+def test_wb_dynamics_partials(probes, key, mode):
+    n = 60
+    X, U = probes["x"][:n], probes["u"][:n]
+    dt = 1e-3
+
+    def jac(x, u):
+        return Q.wb_step_jac(x, u, mode, dt)
+
+    A, B, C, D = jax.jit(jax.vmap(jac))(X, U)
+    ref = probes[key][:n]
+    refAc = colmajor(ref[:, :196], n, 14, 14)
+    refBc = colmajor(ref[:, 196:252], n, 14, 4)
+    refC = colmajor(ref[:, 252:308], n, 4, 14)
+    refD = colmajor(ref[:, 308:324], n, 4, 4)
+    eye = np.eye(14)
+    assert np.abs(np.asarray(A) - (eye + refAc * dt)).max() < 1e-9
+    assert np.abs(np.asarray(B) - refBc * dt).max() < 1e-9
+    assert np.abs(np.asarray(C) - refC).max() < 1e-7
+    assert np.abs(np.asarray(D) - refD).max() < 1e-9
+
+
+@pytest.mark.parametrize("key,mode", [("imp_f", 2), ("imp_b", 4)])
+def test_impact_maps(probes, key, mode):
+    X = probes["x"]
+    xn, y = jax.jit(jax.vmap(lambda x: Q.resetmap(x, mode)))(X)
+    ref = probes[key]
+    assert np.abs(np.asarray(xn) - ref[:, :14]).max() < 1e-8
+    assert np.abs(np.asarray(y) - ref[:, 14:]).max() < 1e-9
+
+
+@pytest.mark.parametrize("key,mode", [("imp_f_par", 2), ("imp_b_par", 4)])
+def test_impact_jacobians(probes, key, mode):
+    n = 60
+    X = probes["x"][:n]
+    Px = jax.jit(jax.vmap(lambda x: Q.resetmap_jac(x, mode)))(X)
+    refPx = colmajor(probes[key][:n], n, 14, 14)
+    assert np.abs(np.asarray(Px) - refPx).max() < 1e-8
+
+
+@pytest.mark.parametrize("key,mode", [("tc1", 2), ("tc2", 4)])
+def test_touchdown_constraints(probes, key, mode):
+    X = probes["x"]
+    n = X.shape[0]
+
+    def f(x):
+        return Q.touchdown_constraint_jac(x, mode, -0.404)
+
+    h, hx, hxx = jax.jit(jax.vmap(f))(X)
+    ref = probes[key]
+    assert np.abs(np.asarray(h) - ref[:, 0]).max() < 1e-12
+    assert np.abs(np.asarray(hx) - ref[:, 1:15]).max() < 1e-12
+    assert np.abs(np.asarray(hxx) - colmajor(ref[:, 15:], n, 14, 14)).max() < 1e-12
+
+
+def test_fb_dynamics_matches_kernel_formula(probes):
+    # FBDynamics.c is short enough to transcribe: validate against a direct
+    # reimplementation of its arithmetic at random points.
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(100, 6))
+    u = rng.normal(size=(100, 4)) * 50
+    ph = rng.normal(size=(100, 4))
+    for mode in (1, 2, 3, 4):
+        contact = np.asarray(FB.CONTACT_TABLE)[mode - 1]
+        xdot = jax.jit(jax.vmap(lambda a, b, c: FB.fb_continuous_dynamics(a, b, c, jnp.asarray(contact))))(x, u, ph)
+        cF, cH = contact
+        fx = (cF * u[:, 0] + cH * u[:, 2]) / FB.MASS
+        fz = (cF * u[:, 1] + cH * u[:, 3]) / FB.MASS - FB.GRAVITY
+        tau = (
+            cF * ((ph[:, 1] - x[:, 1]) * u[:, 0] - (ph[:, 0] - x[:, 0]) * u[:, 1])
+            + cH * ((ph[:, 3] - x[:, 1]) * u[:, 2] - (ph[:, 2] - x[:, 0]) * u[:, 3])
+        ) / FB.IYY
+        expect = np.stack([x[:, 3], x[:, 4], x[:, 5], fx, fz, tau], axis=1)
+        assert np.abs(np.asarray(xdot) - expect).max() < 1e-12
+
+
+def test_vmap_of_one_equals_unbatched(probes):
+    x, u = probes["x"][0], probes["u"][0]
+    a = Q.wb_xdot(jnp.asarray(x), jnp.asarray(u), 1)[0]
+    b = jax.vmap(lambda xx, uu: Q.wb_xdot(xx, uu, 1)[0])(x[None], u[None])[0]
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() == 0.0

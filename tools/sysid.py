@@ -16,11 +16,11 @@ Validates along the way:
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_ENABLE_X64"] = "1"
-
 import numpy as np
 import jax
+
+jax.config.update("jax_platforms", "cpu")   # axon sitecustomize overrides env vars
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
