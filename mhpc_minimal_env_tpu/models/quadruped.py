@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from . import kinematics as K
 from .params import GRAVITY, PI_STANDARD
+from ..ops import linalg as LA
 
 # contact mode ids (Gait.h:23: BOUND mode cycle 1->2->3->4)
 BACK_STANCE, FLIGHT1, FRONT_STANCE, FLIGHT2 = 1, 2, 3, 4
@@ -38,23 +39,33 @@ def _link_origin_angle(q):
     return origins[:5], angles[:5]
 
 
+def _dRc(angles):
+    """Per-link d/dtheta [R(theta) c] scaled by mass: columns (m cx, m cz)."""
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    mcx, mcz = _PI[:, 1], _PI[:, 2]
+    return jnp.stack([-s * mcx + c * mcz, -c * mcx - s * mcz], axis=1)  # (5,2)
+
+
+def mass_matrix(q):
+    """M(q) (7,7), symmetric positive definite.
+
+    Closed-form assembly from link Jacobians (one jacfwd over the kinematics
+    instead of a nested KE hessian — keeps the XLA graph small):
+        M = sum_i m_i Jo_i^T Jo_i + Jo_i^T dRc_i Jw_i + (.)^T + Io_i Jw_i^T Jw_i
+    """
+    Jo, Jw = jax.jacfwd(_link_origin_angle)(q)  # (5,2,7), (5,7)
+    _, angles = _link_origin_angle(q)
+    m, io = _PI[:, 0], _PI[:, 3]
+    dRc = _dRc(angles)
+    M = jnp.einsum("iaj,iak,i->jk", Jo, Jo, m)
+    X = jnp.einsum("iaj,ia,ik->jk", Jo, dRc, Jw)
+    M = M + X + X.T + jnp.einsum("ij,ik,i->jk", Jw, Jw, io)
+    return M
+
+
 def kinetic_energy(q, qd):
-    """Total KE via the standard inertial parameters (linear in each link's
-    (m, m cx, m cz, I_origin)); see tools/sysid.py for the derivation."""
-    o_fn = lambda qq: _link_origin_angle(qq)[0]
-    a_fn = lambda qq: _link_origin_angle(qq)[1]
-    vo = jax.jvp(o_fn, (q,), (qd,))[1]
-    w = jax.jvp(a_fn, (q,), (qd,))[1]
-    _, ang = _link_origin_angle(q)
-    c, s = jnp.cos(ang), jnp.sin(ang)
-    m, mcx, mcz, io = _PI[:, 0], _PI[:, 1], _PI[:, 2], _PI[:, 3]
-    # d/dt [R(th) c] = w * dR/dth c with dR/dth = [[-s, c], [-c, -s]]
-    dRc = jnp.stack([-s * mcx + c * mcz, -c * mcx - s * mcz], axis=1)
-    return jnp.sum(
-        0.5 * m * jnp.sum(vo * vo, axis=1)
-        + w * jnp.sum(vo * dRc, axis=1)
-        + 0.5 * io * w**2
-    )
+    """Total KE = 1/2 qd^T M(q) qd."""
+    return 0.5 * qd @ mass_matrix(q) @ qd
 
 
 def potential_energy(q):
@@ -64,18 +75,15 @@ def potential_energy(q):
     return GRAVITY * jnp.sum(m * origins[:, 1] + (-s * mcx + c * mcz))
 
 
-def mass_matrix(q):
-    """M(q) (7,7), symmetric positive definite."""
-    return jax.hessian(lambda qd: kinetic_energy(q, qd))(jnp.zeros_like(q))
-
-
 def bias_forces(q, qd):
-    """C(q,qd) qd + g(q): Coriolis/centrifugal + gravity generalized forces."""
-    p_fn = lambda qq: jax.grad(kinetic_energy, argnums=1)(qq, qd)
-    dpdq_qd = jax.jvp(p_fn, (q,), (qd,))[1]
+    """C(q,qd) qd + g(q) via the Lagrangian identity
+    c = Mdot qd - 1/2 d/dq (qd^T M qd):  small-graph alternative to
+    differentiating the kinetic energy twice."""
+    Mdot = jax.jvp(mass_matrix, (q,), (qd,))[1]
+    quad = lambda qq: qd @ mass_matrix(qq) @ qd
     return (
-        dpdq_qd
-        - jax.grad(kinetic_energy, argnums=0)(q, qd)
+        Mdot @ qd
+        - 0.5 * jax.grad(quad)(q)
         + jax.grad(potential_energy)(q)
     )
 
@@ -105,7 +113,7 @@ def _grf_vector(F, foot):
 def flight_xdot(x, u):
     """Continuous dynamics, flight (Dyn_FL.c): y = 0."""
     q, qd = x[:7], x[7:]
-    qdd = jnp.linalg.solve(mass_matrix(q), _actuation(u) - bias_forces(q, qd))
+    qdd = LA.spd_solve(mass_matrix(q), _actuation(u) - bias_forces(q, qd))
     return jnp.concatenate([qd, qdd]), jnp.zeros(4, dtype=x.dtype)
 
 
@@ -113,16 +121,23 @@ def stance_xdot(x, u, foot):
     """Continuous dynamics with one foot pinned (Dyn_BS.c foot=1 /
     Dyn_FS.c foot=0); y = ground-reaction force of the stance foot.
 
-    KKT system:  [M  -J^T] [qdd]   [S^T u - bias]
-                 [J    0 ] [ F ] = [  -Jd qd    ]
+    KKT system  [M  -J^T; J  0] [qdd; F] = [S^T u - bias; -Jd qd], solved by
+    the Schur complement on the (SPD) mass matrix so everything lowers to
+    Cholesky + triangular solves (TPU-safe in f64, see ops/linalg.py):
+        S F = -(Jd qd + J M^-1 rhs),  S = J M^-1 J^T
+        qdd = M^-1 (rhs + J^T F)
     """
     q, qd = x[:7], x[7:]
     M = mass_matrix(q)
     J, Jd = _foot_J_Jd(q, qd, foot)
-    kkt = jnp.block([[M, -J.T], [J, jnp.zeros((2, 2), dtype=x.dtype)]])
-    rhs = jnp.concatenate([_actuation(u) - bias_forces(q, qd), -Jd @ qd])
-    sol = jnp.linalg.solve(kkt, rhs)
-    qdd, F = sol[:7], sol[7:]
+    rhs = _actuation(u) - bias_forces(q, qd)
+    # one factorization for both solves (spd_solve has a custom JVP that
+    # reuses it, so jacfwd-based linearization stays cheap)
+    sol = LA.spd_solve(M, jnp.concatenate([rhs[:, None], J.T], axis=1))
+    x_free, W = sol[:, 0], sol[:, 1:]
+    S = J @ W                               # 2x2 SPD
+    F = -LA.spd_solve(S, Jd @ qd + J @ x_free)
+    qdd = x_free + W @ F
     return jnp.concatenate([qd, qdd]), _grf_vector(F, foot)
 
 
@@ -160,8 +175,8 @@ def impact_map(x, foot):
     q, qd = x[:7], x[7:]
     M = mass_matrix(q)
     J = jax.jacfwd(_foot_fn(foot))(q)
-    MinvJT = jnp.linalg.solve(M, J.T)
-    lam = jnp.linalg.solve(J @ MinvJT, J @ qd)
+    MinvJT = LA.spd_solve(M, J.T)
+    lam = LA.spd_solve(J @ MinvJT, J @ qd)
     qd_post = qd - MinvJT @ lam
     return jnp.concatenate([q, qd_post]), _grf_vector(-lam, foot)
 

@@ -1,0 +1,167 @@
+"""Small-matrix linear algebra as pure arithmetic (no lax.linalg).
+
+Why: TPU XLA implements LU/Cholesky/eig only for f32, but the solver's
+fidelity envelope (<=1e-3 control deviation vs the f64 Eigen reference,
+BASELINE.md) requires f64.  These routines unroll tiny factorizations
+(n <= 16) into scalar arithmetic that lowers on TPU in any dtype, vmaps
+cleanly over batch lanes, and fuses into surrounding computation.
+
+Also: `inv4` uses the cofactor expansion like Eigen's fixed-size 4x4
+`inverse()` (the reference's Quu path, MHPC_CompoundTypes.h:133), keeping us
+structurally closer to the reference than LAPACK LU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+import jax
+
+
+def cholesky_unrolled(A):
+    """Lower Cholesky of a static-size SPD matrix, unrolled in column-vector
+    form (O(n) XLA ops per column, not O(n^2) scalars — keeps the HLO small,
+    which matters enormously for TPU compile times).
+
+    Returns L with A = L L^T.  For non-PD input some diagonal sqrt arguments
+    go negative -> NaN, which callers use as the PSD test (matching the
+    reference's LDLT isPositive gate, SinglePhase.cpp:202-209).
+    """
+    n = A.shape[-1]
+    cols = []  # each (..., n): column j of L, zero above diagonal
+    for j in range(n):
+        # a_j = A[:, j] minus contributions of previous columns
+        v = A[..., :, j]
+        for k in range(j):
+            v = v - cols[k] * cols[k][..., j : j + 1]
+        d = jnp.sqrt(v[..., j])
+        col = v / d[..., None]
+        # zero out the strictly-upper part of this column
+        mask = jnp.arange(n) >= j
+        cols.append(jnp.where(mask, col, jnp.zeros_like(col)))
+    return jnp.stack(cols, axis=-1)
+
+
+def solve_tril(L, b, lower=True):
+    """Triangular solve, unrolled row-vector form; b is (..., n) or (..., n, m)."""
+    n = L.shape[-1]
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = [None] * n
+    rng = range(n) if lower else range(n - 1, -1, -1)
+    for i in rng:
+        s = b[..., i, :]
+        if lower:
+            for k in range(i):
+                s = s - L[..., i, k, None] * x[k]
+        else:
+            for k in range(i + 1, n):
+                s = s - L[..., i, k, None] * x[k]
+        x[i] = s / L[..., i, i, None]
+    out = jnp.stack(x, axis=-2)
+    return out[..., 0] if vec else out
+
+
+@jax.custom_jvp
+def cho_solve(L, b):
+    """Solve A x = b given lower Cholesky L (A = L L^T)."""
+    y = solve_tril(L, b, lower=True)
+    return solve_tril(jnp.swapaxes(L, -1, -2), y, lower=False)
+
+
+@cho_solve.defjvp
+def _cho_solve_jvp(primals, tangents):
+    # d x = A^-1 (db - (dL L^T + L dL^T) x); reuses the factorization so
+    # jacfwd of the dynamics costs one factorization + batched solves.
+    L, b = primals
+    dL, db = tangents
+    x = cho_solve(L, b)
+    Lt = jnp.swapaxes(L, -1, -2)
+    dLt = jnp.swapaxes(dL, -1, -2)
+    if x.ndim == L.ndim - 1:
+        dA_x = dL @ (Lt @ x[..., None]) + L @ (dLt @ x[..., None])
+        dx = cho_solve(L, db - dA_x[..., 0])
+    else:
+        dA_x = dL @ (Lt @ x) + L @ (dLt @ x)
+        dx = cho_solve(L, db - dA_x)
+    return x, dx
+
+
+@jax.custom_jvp
+def spd_solve(A, b):
+    """Solve SPD system via unrolled Cholesky."""
+    return cho_solve(cholesky_unrolled(A), b)
+
+
+@spd_solve.defjvp
+def _spd_solve_jvp(primals, tangents):
+    # dx = A^-1 (db - dA x): one factorization shared by all tangents.
+    A, b = primals
+    dA, db = tangents
+    L = cholesky_unrolled(A)
+    x = cho_solve(L, b)
+    if x.ndim == A.ndim - 1:
+        rhs = db - (dA @ x[..., None])[..., 0]
+    else:
+        rhs = db - dA @ x
+    return x, cho_solve(L, rhs)
+
+
+def inv4(A):
+    """4x4 inverse by cofactor expansion (Eigen's fixed-size `inverse()`).
+
+    Mirrors Eigen/src/LU/InverseImpl.h's compute_inverse_size4 structure:
+    2x2-minor based cofactors / determinant.
+    """
+    a = A
+    # 2x2 sub-determinants of rows (0,1) and (2,3)
+    s0 = a[..., 0, 0] * a[..., 1, 1] - a[..., 1, 0] * a[..., 0, 1]
+    s1 = a[..., 0, 0] * a[..., 1, 2] - a[..., 1, 0] * a[..., 0, 2]
+    s2 = a[..., 0, 0] * a[..., 1, 3] - a[..., 1, 0] * a[..., 0, 3]
+    s3 = a[..., 0, 1] * a[..., 1, 2] - a[..., 1, 1] * a[..., 0, 2]
+    s4 = a[..., 0, 1] * a[..., 1, 3] - a[..., 1, 1] * a[..., 0, 3]
+    s5 = a[..., 0, 2] * a[..., 1, 3] - a[..., 1, 2] * a[..., 0, 3]
+    c5 = a[..., 2, 2] * a[..., 3, 3] - a[..., 3, 2] * a[..., 2, 3]
+    c4 = a[..., 2, 1] * a[..., 3, 3] - a[..., 3, 1] * a[..., 2, 3]
+    c3 = a[..., 2, 1] * a[..., 3, 2] - a[..., 3, 1] * a[..., 2, 2]
+    c2 = a[..., 2, 0] * a[..., 3, 3] - a[..., 3, 0] * a[..., 2, 3]
+    c1 = a[..., 2, 0] * a[..., 3, 2] - a[..., 3, 0] * a[..., 2, 2]
+    c0 = a[..., 2, 0] * a[..., 3, 1] - a[..., 3, 0] * a[..., 2, 1]
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    invdet = 1.0 / det
+
+    b00 = a[..., 1, 1] * c5 - a[..., 1, 2] * c4 + a[..., 1, 3] * c3
+    b01 = -a[..., 0, 1] * c5 + a[..., 0, 2] * c4 - a[..., 0, 3] * c3
+    b02 = a[..., 3, 1] * s5 - a[..., 3, 2] * s4 + a[..., 3, 3] * s3
+    b03 = -a[..., 2, 1] * s5 + a[..., 2, 2] * s4 - a[..., 2, 3] * s3
+
+    b10 = -a[..., 1, 0] * c5 + a[..., 1, 2] * c2 - a[..., 1, 3] * c1
+    b11 = a[..., 0, 0] * c5 - a[..., 0, 2] * c2 + a[..., 0, 3] * c1
+    b12 = -a[..., 3, 0] * s5 + a[..., 3, 2] * s2 - a[..., 3, 3] * s1
+    b13 = a[..., 2, 0] * s5 - a[..., 2, 2] * s2 + a[..., 2, 3] * s1
+
+    b20 = a[..., 1, 0] * c4 - a[..., 1, 1] * c2 + a[..., 1, 3] * c0
+    b21 = -a[..., 0, 0] * c4 + a[..., 0, 1] * c2 - a[..., 0, 3] * c0
+    b22 = a[..., 3, 0] * s4 - a[..., 3, 1] * s2 + a[..., 3, 3] * s0
+    b23 = -a[..., 2, 0] * s4 + a[..., 2, 1] * s2 - a[..., 2, 3] * s0
+
+    b30 = -a[..., 1, 0] * c3 + a[..., 1, 1] * c1 - a[..., 1, 2] * c0
+    b31 = a[..., 0, 0] * c3 - a[..., 0, 1] * c1 + a[..., 0, 2] * c0
+    b32 = -a[..., 3, 0] * s3 + a[..., 3, 1] * s1 - a[..., 3, 2] * s0
+    b33 = a[..., 2, 0] * s3 - a[..., 2, 1] * s1 + a[..., 2, 2] * s0
+
+    rows = [
+        jnp.stack([b00, b01, b02, b03], axis=-1),
+        jnp.stack([b10, b11, b12, b13], axis=-1),
+        jnp.stack([b20, b21, b22, b23], axis=-1),
+        jnp.stack([b30, b31, b32, b33], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) * invdet[..., None, None]
+
+
+def is_pd_chol(A, shift=0.0):
+    """PSD gate: Cholesky of (A - shift I) succeeds (all finite)."""
+    n = A.shape[-1]
+    L = cholesky_unrolled(A - shift * jnp.eye(n, dtype=A.dtype))
+    return jnp.all(jnp.isfinite(L), axis=(-1, -2))

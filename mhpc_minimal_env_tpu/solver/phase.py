@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..models import quadruped as Q
 from ..models import floating_base as FB
 from ..models import kinematics as K
+from ..ops import linalg as LA
 from ..types import PhaseSpec
 from . import costs as C
 from . import constraints as CONSTR
@@ -225,10 +226,10 @@ def make_phase(spec: PhaseSpec, vel_cmd: float, ground_height: float):
             Qxx = Qxx + eye_x * reg
             Quu = Quu + eye_u * reg
             # PSD check on Quu - 1e-9 I (SinglePhase.cpp:202-209)
-            chol = jnp.linalg.cholesky(Quu - eye_u * 1e-9)
-            ok_k = jnp.all(jnp.isfinite(chol))
-            # gains & value update (MHPC_CompoundTypes.h:128-144)
-            Quu_raw_inv = jnp.linalg.inv(Quu)
+            ok_k = LA.is_pd_chol(Quu, shift=1e-9)
+            # gains & value update (MHPC_CompoundTypes.h:128-144); inv4 is the
+            # same cofactor expansion Eigen uses for fixed-size 4x4 inverse()
+            Quu_raw_inv = LA.inv4(Quu)
             Quu_inv = (Quu_raw_inv + Quu_raw_inv.T) / 2.0
             Qxx = (Qxx + Qxx.T) / 2.0
             du = -Quu_inv @ Qu

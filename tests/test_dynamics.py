@@ -131,4 +131,5 @@ def test_vmap_of_one_equals_unbatched(probes):
     x, u = probes["x"][0], probes["u"][0]
     a = Q.wb_xdot(jnp.asarray(x), jnp.asarray(u), 1)[0]
     b = jax.vmap(lambda xx, uu: Q.wb_xdot(xx, uu, 1)[0])(x[None], u[None])[0]
-    assert np.abs(np.asarray(a) - np.asarray(b)).max() == 0.0
+    # batching may reassociate reductions; demand agreement at round-off level
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-10

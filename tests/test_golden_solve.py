@@ -1,0 +1,45 @@
+"""End-to-end golden test: the full HSDDP solve vs the reference binary's
+default run (tests/golden/reference_run.npz, produced by mhpc_ctrl per
+BASELINE.md).
+
+Golden .txt files carry ~6 significant digits, so tolerances are set at the
+dump quantization level for each quantity's magnitude.
+"""
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "reference_run.npz")
+
+
+@pytest.fixture(scope="module")
+def solved():
+    from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion
+
+    loco = MHPCLocomotion()
+    res = loco.solve()
+    return loco, res
+
+
+def test_terminal_violation(solved):
+    _, res = solved
+    # reference run log: "terminal constraint violation = 2.365e-02"
+    assert abs(float(res.viol) - 2.365136e-2) < 5e-7
+    assert not bool(res.aborted)
+
+
+def test_state_control_gradient_match(solved):
+    loco, res = solved
+    g = np.load(GOLDEN)
+    state, control, grad = loco.dump_arrays(res)
+    assert np.nanmax(np.abs(state - g["state"])) < 2e-5
+    assert np.nanmax(np.abs(control - g["control"])) < 1e-3  # the SLO bound
+    assert np.nanmax(np.abs(grad - g["gradient"])) < 1e-2   # |G| ~ 1e3
+
+
+def test_control_rows_at_phase_ends_are_zero(solved):
+    loco, res = solved
+    # the reference never writes u at the terminal gridpoint of a phase
+    for p in range(len(loco.problem.specs)):
+        assert np.all(np.asarray(res.nominal[p].u[-1]) == 0.0)
