@@ -126,7 +126,12 @@ def warmstart_nominal(problem: MHPCProblem, x0, dtype=jnp.float64):
 
 
 class MHPCLocomotion:
-    """End-to-end controller: build -> warm start -> solve (-> dump)."""
+    """End-to-end controller: build -> warm start -> solve (-> dump).
+
+    `solve` handles one scenario; `solve_batched` vmaps the entire pipeline
+    (reference generation + PD warm start + HSDDP solve) over a batch of
+    initial states — the framework's data-parallel axis.
+    """
 
     def __init__(self, problem: MHPCProblem | None = None, dtype=jnp.float64):
         self.problem = problem or default_problem()
@@ -135,14 +140,30 @@ class MHPCLocomotion:
             list(self.problem.specs), self.problem.opt,
             self.problem.vel_cmd, self.problem.ground_height,
         )
-        self._jit_solve = jax.jit(self._solve_fn)
+        from ..solver.reference_gen import make_reference_fn
+
+        self._refs_fn = make_reference_fn(
+            self.problem.specs, self.problem.vel_cmd,
+            self.problem.height_cmd, dtype,
+        )
+        alreb0 = initial_al_reb(self.problem, dtype)
+
+        def single(x0):
+            refs = self._refs_fn(x0)
+            nominal0 = warmstart_nominal(self.problem, x0, dtype)
+            return self._solve_fn(x0, refs, nominal0, alreb0)
+
+        self.single = single
+        self._jit_solve = jax.jit(single)
+        self._jit_solve_batch = jax.jit(jax.vmap(single))
 
     def solve(self, x0=None):
         x0 = jnp.asarray(X0_DEFAULT if x0 is None else x0, dtype=self.dtype)
-        refs = make_references(self.problem, np.asarray(x0), self.dtype)
-        nominal0 = warmstart_nominal(self.problem, x0, self.dtype)
-        alreb0 = initial_al_reb(self.problem, self.dtype)
-        return self._jit_solve(x0, refs, nominal0, alreb0)
+        return self._jit_solve(x0)
+
+    def solve_batched(self, x0_batch):
+        """Solve a (B, 14) batch of scenarios in one compiled program."""
+        return self._jit_solve_batch(jnp.asarray(x0_batch, dtype=self.dtype))
 
     # ------------------------------------------------------------ debug dump
     def dump_arrays(self, result):

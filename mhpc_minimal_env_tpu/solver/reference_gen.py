@@ -67,3 +67,33 @@ def generate_references(phase_specs, x0_pos, vel_cmd, height_cmd):
         refs.append(PhaseRef(x=x, u=u, y=y))
         pos0 = pos[-1]
     return refs
+
+
+def reference_templates(phase_specs, vel_cmd, height_cmd):
+    """Static per-phase reference templates with x-position zeroed at x0=0.
+
+    The references depend on the problem's initial state only through
+    x0[0], added to column 0 of x linearly — so inside jit (and under vmap
+    over scenarios) the per-lane references are `template + x0[0] * e0`.
+    """
+    return generate_references(phase_specs, 0.0, vel_cmd, height_cmd)
+
+
+def make_reference_fn(phase_specs, vel_cmd, height_cmd, dtype):
+    """Returns refs_fn(x0) usable inside jit/vmap."""
+    import jax.numpy as jnp
+
+    templates = [
+        PhaseRef(*(jnp.asarray(a, dtype=dtype) for a in r))
+        for r in reference_templates(phase_specs, vel_cmd, height_cmd)
+    ]
+
+    def refs_fn(x0):
+        pos0 = x0[0]
+        out = []
+        for t in templates:
+            x = t.x.at[:, 0].add(pos0)
+            out.append(PhaseRef(x=x, u=t.u, y=t.y))
+        return out
+
+    return refs_fn
