@@ -131,31 +131,47 @@ class MHPCLocomotion:
     `solve` handles one scenario; `solve_batched` vmaps the entire pipeline
     (reference generation + PD warm start + HSDDP solve) over a batch of
     initial states — the framework's data-parallel axis.
+
+    engine="fused" (default): single-scan TPU-native engine (solver/fused.py,
+    3 compiled graphs total).  engine="phase": per-phase engine
+    (solver/phase.py), the direct structural mirror of the reference.
     """
 
-    def __init__(self, problem: MHPCProblem | None = None, dtype=jnp.float64):
+    def __init__(self, problem: MHPCProblem | None = None, dtype=jnp.float64,
+                 engine: str = "fused"):
         self.problem = problem or default_problem()
         self.dtype = dtype
-        self._solve_fn, self.phases = build_solver(
-            list(self.problem.specs), self.problem.opt,
-            self.problem.vel_cmd, self.problem.ground_height,
-        )
-        from ..solver.reference_gen import make_reference_fn
+        self.engine = engine
+        if engine == "fused":
+            from ..solver.fused_hsddp import build_fused_solver
 
-        self._refs_fn = make_reference_fn(
-            self.problem.specs, self.problem.vel_cmd,
-            self.problem.height_cmd, dtype,
-        )
-        alreb0 = initial_al_reb(self.problem, dtype)
+            solve_fn, self._eng = build_fused_solver(
+                list(self.problem.specs), self.problem.opt,
+                self.problem.vel_cmd, self.problem.ground_height,
+                self.problem.height_cmd, dtype,
+            )
+            self.single = solve_fn
+        else:
+            self._solve_fn, self.phases = build_solver(
+                list(self.problem.specs), self.problem.opt,
+                self.problem.vel_cmd, self.problem.ground_height,
+            )
+            from ..solver.reference_gen import make_reference_fn
 
-        def single(x0):
-            refs = self._refs_fn(x0)
-            nominal0 = warmstart_nominal(self.problem, x0, dtype)
-            return self._solve_fn(x0, refs, nominal0, alreb0)
+            self._refs_fn = make_reference_fn(
+                self.problem.specs, self.problem.vel_cmd,
+                self.problem.height_cmd, dtype,
+            )
+            alreb0 = initial_al_reb(self.problem, dtype)
 
-        self.single = single
-        self._jit_solve = jax.jit(single)
-        self._jit_solve_batch = jax.jit(jax.vmap(single))
+            def single(x0):
+                refs = self._refs_fn(x0)
+                nominal0 = warmstart_nominal(self.problem, x0, dtype)
+                return self._solve_fn(x0, refs, nominal0, alreb0)
+
+            self.single = single
+        self._jit_solve = jax.jit(self.single)
+        self._jit_solve_batch = jax.jit(jax.vmap(self.single))
 
     def solve(self, x0=None):
         x0 = jnp.asarray(X0_DEFAULT if x0 is None else x0, dtype=self.dtype)
@@ -165,11 +181,32 @@ class MHPCLocomotion:
         """Solve a (B, 14) batch of scenarios in one compiled program."""
         return self._jit_solve_batch(jnp.asarray(x0_batch, dtype=self.dtype))
 
+    # ------------------------------------------------------------ phase views
+    def phase_slices(self):
+        """[(start, end, spec)] gridpoint ranges per phase."""
+        out, t0 = [], 0
+        for s in self.problem.specs:
+            out.append((t0, t0 + s.n_steps, s))
+            t0 += s.n_steps
+        return out
+
+    def phase_arrays(self, result, field="x"):
+        """Per-phase list of a trajectory field, both engines."""
+        if self.engine == "fused":
+            src = getattr(result.nominal, field)
+            return [np.asarray(src[a:b]) for a, b, _ in self.phase_slices()]
+        return [np.asarray(getattr(result.nominal[p], field))
+                for p in range(len(self.problem.specs))]
+
     # ------------------------------------------------------------ debug dump
     def dump_arrays(self, result):
         """Concatenated (state, control, gradient) rows in the same order as
         print_debugInfo's text files (WB phases then FB phases; state rows
-        padded with NaN for the 6-wide FB block)."""
+        padded with NaN for the 6-wide FB block in the phase engine; zero
+        padding in the fused engine — golden comparisons use nanmax)."""
+        if self.engine == "fused":
+            return (np.asarray(result.nominal.x), np.asarray(result.nominal.u),
+                    np.asarray(result.ctg.G))
         states, controls, grads = [], [], []
         width = 14
         for p, s in enumerate(self.problem.specs):

@@ -25,21 +25,25 @@ def _write_rows(path, blocks):
 def dump_debug_files(loco, result, out_dir="."):
     """Writes state.txt / control.txt / gradient.txt / cost.txt."""
     os.makedirs(out_dir, exist_ok=True)
-    specs = loco.problem.specs
-    P = len(specs)
-    _write_rows(os.path.join(out_dir, "state.txt"),
-                [result.nominal[p].x for p in range(P)])
-    _write_rows(os.path.join(out_dir, "control.txt"),
-                [result.nominal[p].u for p in range(P)])
-    _write_rows(os.path.join(out_dir, "gradient.txt"),
-                [result.ctg[p].G for p in range(P)])
+    state, control, grad = loco.dump_arrays(result)
+    _write_rows(os.path.join(out_dir, "state.txt"), [state])
+    _write_rows(os.path.join(out_dir, "control.txt"), [control])
+    _write_rows(os.path.join(out_dir, "gradient.txt"), [grad])
     # cost.txt: running-cost gradient rows for k < N-1 then terminal Phix
-    blocks = []
-    for p in range(P):
-        lx = np.asarray(result.lin[p].lx)
-        phix = np.asarray(result.lin[p].phix)[None, :]
-        blocks.append(np.concatenate([lx, phix], axis=0))
-    _write_rows(os.path.join(out_dir, "cost.txt"), blocks)
+    if loco.engine == "fused":
+        lx = np.asarray(result.lin.lx)
+        phix = np.asarray(result.lin.phix)
+        rows = []
+        for a, b, _ in loco.phase_slices():
+            rows.append(np.concatenate([lx[a : b - 1], phix[b - 1 : b]], axis=0))
+        _write_rows(os.path.join(out_dir, "cost.txt"), rows)
+    else:
+        blocks = []
+        for p in range(len(loco.problem.specs)):
+            lx = np.asarray(result.lin[p].lx)
+            phix = np.asarray(result.lin[p].phix)[None, :]
+            blocks.append(np.concatenate([lx, phix], axis=0))
+        _write_rows(os.path.join(out_dir, "cost.txt"), blocks)
 
 
 def log_solve_stats(result, path=None):

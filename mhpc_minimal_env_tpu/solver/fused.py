@@ -1,0 +1,535 @@
+"""Fused single-scan HSDDP engine — the TPU-native solver architecture.
+
+The per-phase engine (phase.py) maps each phase to its own scan, which
+duplicates compiled graphs 8x and leaves the compiler nothing to fuse
+across phases.  Here the WHOLE multi-phase problem is one gridpoint stream:
+
+  - all P phases concatenated: T = sum_p N_p gridpoints (720 by default)
+  - per-gridpoint static metadata (dynamics id, phase index, transition
+    code, terminal/cost flags, weight tables, references) precomputed
+    host-side into a `FusedPlan` of arrays
+  - FB (6-state) phases embedded in the 14-wide WB container (zero
+    padding; the padded coordinates stay exactly zero through dynamics,
+    costs, and the Riccati recursion — regularization touches only the
+    decoupled pad diagonal, which the WB->FB projection annihilates)
+  - ONE rollout scan, ONE vmapped linearization, ONE backward scan ->
+    3 compiled graphs total independent of phase count; the per-step
+    dynamics switch via lax.switch over 4 branches
+  - warm start runs through the same rollout scan (use_pd flag) so no
+    extra graphs are compiled
+
+Numerics match phase.py / the reference exactly (same update equations,
+same calc-flag quirks); tests/test_golden_solve.py runs on this engine.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import kinematics as K
+from ..models import quadruped as Q
+from ..models import floating_base as FB
+from ..ops import linalg as LA
+from ..types import HSDDPOptions, PhaseSpec
+from . import constraints as CONSTR
+from . import costs as C
+from .reference_gen import reference_templates
+
+XDIM, UDIM, YDIM, NC = 14, 4, 4, 19  # padded sizes
+
+DYN_BS, DYN_FL, DYN_FS, DYN_FB = 0, 1, 2, 3
+TR_NONE, TR_ID, TR_IMPF, TR_IMPB = 0, 1, 2, 3
+TC_NONE, TC_FRONT, TC_HIND = 0, 1, 2
+
+
+class FusedPlan(NamedTuple):
+    is_dyn: jnp.ndarray        # (T,) dynamics step leaves this gridpoint
+    is_term: jnp.ndarray       # (T,) phase-terminal gridpoint
+    is_start: jnp.ndarray      # (T,) phase-start gridpoint (0 at t=0)
+    dyn_id: jnp.ndarray
+    trans_id: jnp.ndarray
+    do_proj: jnp.ndarray
+    tc_id: jnp.ndarray
+    phase_idx: jnp.ndarray
+    wb_mask: jnp.ndarray
+    dt: jnp.ndarray
+    contact: jnp.ndarray       # (T, 2)
+    plan_fh: jnp.ndarray       # (T,)
+    stance_time: jnp.ndarray   # (T,)
+    qw: jnp.ndarray            # (T, 14)
+    rw: jnp.ndarray            # (T, 4)
+    sw: jnp.ndarray            # (T, 4)
+    qfw: jnp.ndarray           # (T, 14)
+    ref_x: jnp.ndarray         # (T, 14) template; add x0[0] to column 0
+    ref_u: jnp.ndarray
+    ref_y: jnp.ndarray
+    Cx: jnp.ndarray            # (T, NC, 14)
+    Cu: jnp.ndarray
+    Cy: jnp.ndarray
+    cb: jnp.ndarray            # (T, NC)
+    c_valid: jnp.ndarray       # (T, NC)
+    has_al: jnp.ndarray        # (P,)
+    start_idx: jnp.ndarray     # (P,) gridpoint index of each phase start
+    term_idx: jnp.ndarray      # (P,) gridpoint index of each phase terminal
+
+
+class FusedALReB(NamedTuple):
+    sigma: jnp.ndarray      # (P,)
+    lam: jnp.ndarray        # (P,)
+    delta: jnp.ndarray      # (P, NC)
+    delta_min: jnp.ndarray  # (P, NC)
+    eps_reb: jnp.ndarray    # (P, NC)
+
+
+class FusedTraj(NamedTuple):
+    x: jnp.ndarray   # (T, 14)
+    u: jnp.ndarray   # (T, 4)
+    y: jnp.ndarray   # (T, 4)
+    V: jnp.ndarray
+    h: jnp.ndarray   # (P,)
+    viol: jnp.ndarray
+
+
+class FusedLin(NamedTuple):
+    A: jnp.ndarray
+    Bm: jnp.ndarray
+    Cm: jnp.ndarray
+    D: jnp.ndarray
+    lx: jnp.ndarray
+    lu: jnp.ndarray
+    ly: jnp.ndarray
+    lxx: jnp.ndarray
+    luu: jnp.ndarray
+    lyy: jnp.ndarray
+    phix: jnp.ndarray   # (T, 14), valid at terminal gridpoints
+    phixx: jnp.ndarray  # (T, 14, 14)
+    Px: jnp.ndarray     # (T, 14, 14), valid at phase-start gridpoints
+
+
+class FusedCTG(NamedTuple):
+    du: jnp.ndarray  # (T, 4)
+    Kfb: jnp.ndarray # (T, 4, 14)
+    G: jnp.ndarray   # (T, 14)
+
+
+# --------------------------------------------------------------------------
+# plan construction (host-side numpy)
+# --------------------------------------------------------------------------
+
+def build_plan(specs: List[PhaseSpec], vel_cmd, height_cmd, dtype=np.float64):
+    P = len(specs)
+    T = sum(s.n_steps for s in specs)
+    f = dict(
+        is_dyn=np.zeros(T), is_term=np.zeros(T), is_start=np.zeros(T),
+        dyn_id=np.zeros(T, np.int32), trans_id=np.zeros(T, np.int32),
+        do_proj=np.zeros(T), tc_id=np.zeros(T, np.int32),
+        phase_idx=np.zeros(T, np.int32), wb_mask=np.zeros(T),
+        dt=np.zeros(T), contact=np.zeros((T, 2)), plan_fh=np.zeros(T),
+        stance_time=np.zeros(T),
+        qw=np.zeros((T, XDIM)), rw=np.zeros((T, UDIM)), sw=np.zeros((T, YDIM)),
+        qfw=np.zeros((T, XDIM)),
+        ref_x=np.zeros((T, XDIM)), ref_u=np.zeros((T, UDIM)),
+        ref_y=np.zeros((T, YDIM)),
+        Cx=np.zeros((T, NC, XDIM)), Cu=np.zeros((T, NC, UDIM)),
+        Cy=np.zeros((T, NC, YDIM)), cb=np.ones((T, NC)),
+        c_valid=np.zeros((T, NC)),
+    )
+    has_al = np.zeros(P)
+    refs = reference_templates(specs, vel_cmd, height_cmd)
+    start_idx = np.zeros(P, np.int32)
+    term_idx = np.zeros(P, np.int32)
+
+    t0 = 0
+    for p, s in enumerate(specs):
+        n = s.n_steps
+        sl = slice(t0, t0 + n)
+        start_idx[p] = t0
+        term_idx[p] = t0 + n - 1
+        f["phase_idx"][sl] = p
+        f["dt"][sl] = s.dt
+        f["is_dyn"][t0 : t0 + n - 1] = 1
+        f["is_term"][t0 + n - 1] = 1
+        if p > 0:
+            f["is_start"][t0] = 1
+        f["stance_time"][sl] = s.dt * n
+        if s.model == "wb":
+            f["wb_mask"][sl] = 1
+            f["dyn_id"][sl] = {1: DYN_BS, 2: DYN_FL, 3: DYN_FS, 4: DYN_FL}[s.mode]
+            if s.mode in (2, 4):
+                f["tc_id"][t0 + n - 1] = TC_FRONT if s.mode == 2 else TC_HIND
+                has_al[p] = 1
+            lc = CONSTR.wb_path_constraints(s.mode)
+            nc = lc.b.shape[0]
+            f["Cx"][sl, :nc] = lc.Cx
+            f["Cu"][sl, :nc] = lc.Cu
+            f["Cy"][sl, :nc] = lc.Cy
+            f["cb"][sl, :nc] = lc.b
+            f["c_valid"][sl, :nc] = 1
+        else:
+            f["dyn_id"][sl] = DYN_FB
+            f["contact"][sl] = np.asarray(FB.CONTACT_TABLE)[s.mode - 1]
+            if s.mode in (1, 3):
+                f["plan_fh"][t0] = 1
+        if p > 0:
+            prev = specs[p - 1]
+            if prev.model == "wb":
+                f["trans_id"][t0] = {1: TR_ID, 2: TR_IMPF, 3: TR_ID, 4: TR_IMPB}[prev.mode]
+                f["do_proj"][t0] = 1.0 if s.model == "fb" else 0.0
+            else:
+                f["trans_id"][t0] = TR_ID
+        qw, rw, sw, qfw = C.weights(s.model, s.mode)
+        d = qw.shape[0]
+        f["qw"][sl, :d] = qw
+        f["rw"][sl] = rw
+        f["sw"][sl] = sw
+        f["qfw"][sl, :d] = qfw
+        f["ref_x"][sl, : refs[p].x.shape[1]] = refs[p].x
+        f["ref_u"][sl] = refs[p].u
+        f["ref_y"][sl] = refs[p].y
+        t0 += n
+
+    out = {}
+    for k, v in f.items():
+        out[k] = jnp.asarray(v) if v.dtype == np.int32 else jnp.asarray(v, dtype=dtype)
+    return FusedPlan(
+        has_al=jnp.asarray(has_al, dtype=dtype),
+        start_idx=jnp.asarray(start_idx), term_idx=jnp.asarray(term_idx),
+        **out,
+    )
+
+
+def initial_fused_alreb(specs: List[PhaseSpec], dtype=jnp.float64) -> FusedALReB:
+    P = len(specs)
+    sigma = np.zeros(P)
+    lam = np.zeros(P)
+    delta = np.ones((P, NC))
+    delta_min = np.full((P, NC), 0.01)
+    eps = np.zeros((P, NC))
+    for p, s in enumerate(specs):
+        d = CONSTR.initial_al_reb(s.model, s.mode)
+        sigma[p] = d["sigma"]
+        n = d["delta"].shape[0]
+        if n:
+            delta[p, :n] = d["delta"]
+            delta_min[p, :n] = d["delta_min"]
+            eps[p, :n] = d["eps_reb"]
+    return FusedALReB(
+        sigma=jnp.asarray(sigma, dtype=dtype),
+        lam=jnp.asarray(lam, dtype=dtype),
+        delta=jnp.asarray(delta, dtype=dtype),
+        delta_min=jnp.asarray(delta_min, dtype=dtype),
+        eps_reb=jnp.asarray(eps, dtype=dtype),
+    )
+
+
+# --------------------------------------------------------------------------
+# per-step primitives
+# --------------------------------------------------------------------------
+
+def _pad14(x6):
+    return jnp.concatenate([x6, jnp.zeros(8, dtype=x6.dtype)])
+
+
+def _step_dynamics(dyn_id, x, u, fh, ct, dt):
+    def bs(x, u, fh, ct):
+        return Q.wb_step(x, u, 1, dt)
+
+    def fl(x, u, fh, ct):
+        return Q.wb_step(x, u, 2, dt)
+
+    def fs(x, u, fh, ct):
+        return Q.wb_step(x, u, 3, dt)
+
+    def fb(x, u, fh, ct):
+        x6 = x[:6]
+        xdot = FB.fb_continuous_dynamics(x6, u, fh, ct)
+        return _pad14(x6 + xdot * dt), jnp.zeros(4, dtype=x.dtype)
+
+    return jax.lax.switch(dyn_id, [bs, fl, fs, fb], x, u, fh, ct)
+
+
+def _transition(trans_id, x):
+    def ident(x):
+        return x
+
+    def impf(x):
+        return Q.impact_map(x, 0)[0]
+
+    def impb(x):
+        return Q.impact_map(x, 1)[0]
+
+    return jax.lax.switch(trans_id, [ident, ident, impf, impb], x)
+
+
+def _proj_matrix(dtype):
+    S = jnp.zeros((XDIM, XDIM), dtype)
+    S = S.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+    S = S.at[3:6, 7:10].set(jnp.eye(3, dtype=dtype))
+    return S
+
+
+def _project(x, do_proj):
+    proj = jnp.concatenate([x[:3], x[7:10], jnp.zeros(8, dtype=x.dtype)])
+    return jnp.where(do_proj > 0, proj, x)
+
+
+def _plan_foothold_fused(x, stance_time, contact, vel_cmd, ground_height):
+    """Raibert foothold from the FB phase-start state (FootholdPlan.h:27-50)."""
+    q = jnp.concatenate([x[:3], jnp.zeros(4, dtype=x.dtype)])
+    hip_h = K.hip_position(q, 1)
+    hip_f = K.hip_position(q, 0)
+    z = jnp.zeros((), x.dtype)
+    gz = jnp.asarray(ground_height, dtype=x.dtype)
+    fh_hind = jnp.stack([z, z, hip_h[0] + vel_cmd * stance_time / 2, gz])
+    fh_front = jnp.stack([hip_f[0] + vel_cmd * stance_time / 2, gz, z, z])
+    return jnp.where(contact[1] > 0, fh_hind, fh_front)
+
+
+def _touchdown(tc_id, x, ground_height):
+    q = x[:7]
+    h_f = K.front_foot_position(q)[1] - ground_height
+    h_h = K.hind_foot_position(q)[1] - ground_height
+    return jnp.where(tc_id == TC_FRONT, h_f,
+                     jnp.where(tc_id == TC_HIND, h_h, jnp.zeros((), x.dtype)))
+
+
+def _pd_policy(dyn_id, x):
+    """Bounding PD warm-start law (boundingPDControl.cpp)."""
+    from .warmstart import _pd_control
+
+    return jax.lax.switch(
+        dyn_id,
+        [lambda x: _pd_control(x, 1), lambda x: _pd_control(x, 2),
+         lambda x: _pd_control(x, 3), lambda x: jnp.zeros(4, dtype=x.dtype)],
+        x,
+    )
+
+
+# --------------------------------------------------------------------------
+# the engine
+# --------------------------------------------------------------------------
+
+def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
+                      vel_cmd: float, ground_height: float,
+                      height_cmd: float = 0.0, dtype=jnp.float64):
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    plan = build_plan(specs, vel_cmd, height_cmd, dtype=np_dtype)
+    P = len(specs)
+    T = int(sum(s.n_steps for s in specs))
+    dts = {s.dt for s in specs}
+    assert len(dts) == 1, "fused engine assumes a uniform dt"
+    dt0 = float(next(iter(dts)))
+
+    # --------------------------------------------------------------- rollout
+    def rollout(x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x, alreb: FusedALReB,
+                reb_on, use_pd):
+        def body(carry, inp):
+            x, fh, V, hacc = carry
+            (t_isdyn, t_isterm, t_isstart, t_dynid, t_transid, t_doproj,
+             t_tcid, t_pidx, t_wb, t_dt, t_contact, t_planfh, t_stime,
+             t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
+             t_Cx, t_Cu, t_Cy, t_cb, t_cvalid,
+             t_nomx, t_nomu, t_du, t_K) = inp
+
+            # phase-start: reset map + projection
+            x = jax.lax.cond(
+                t_isstart > 0,
+                lambda xx: _project(_transition(t_transid, xx), t_doproj),
+                lambda xx: xx,
+                x,
+            )
+            # foothold planning (FB stance phase starts)
+            fh_new = _plan_foothold_fused(x, t_stime, t_contact, vel_cmd,
+                                          ground_height)
+            fh = jnp.where(t_planfh > 0, fh_new, fh)
+
+            # control
+            u_pol = t_nomu + eps * t_du + t_K @ (x - t_nomx)
+            u = jnp.where(use_pd > 0, _pd_policy(t_dynid, x), u_pol)
+            u = u * t_isdyn
+
+            # dynamics
+            x_next, y = _step_dynamics(t_dynid, x, u, fh, t_contact, dt0)
+            y = y * t_isdyn
+
+            # running cost + ReB barrier
+            l = C.running_cost(x, u, y, t_refx, t_refu, t_refy,
+                               t_qw, t_rw, t_sw, t_dt)
+            g = t_Cx @ x + t_Cu @ u + t_Cy @ y + t_cb
+            g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
+            Bv, _, _ = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
+            l = l + reb_on * jnp.sum(alreb.eps_reb[t_pidx] * Bv * t_cvalid) * t_dt
+            V = V + t_isdyn * l
+
+            # terminal cost + AL penalty + switching constraint
+            phi = C.terminal_cost(x, t_refx, t_qfw)
+            h = _touchdown(t_tcid, x, ground_height)
+            sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
+            phi = phi + plan.has_al[t_pidx] * 50.0 * (
+                (sig * h / 2.0) ** 2 + lam * h
+            )
+            V = V + t_isterm * phi
+            hacc = hacc + jnp.zeros_like(hacc).at[t_pidx].set(t_isterm * h)
+
+            x_store = x * jnp.where(use_pd > 0, t_wb, jnp.ones((), x.dtype))
+            x_carry = jnp.where(t_isdyn > 0, x_next, x)
+            return (x_carry, fh, V, hacc), (x_store, u, y)
+
+        inputs = (
+            plan.is_dyn, plan.is_term, plan.is_start, plan.dyn_id,
+            plan.trans_id, plan.do_proj, plan.tc_id, plan.phase_idx,
+            plan.wb_mask, plan.dt, plan.contact, plan.plan_fh,
+            plan.stance_time, plan.qw, plan.rw, plan.sw, plan.qfw,
+            ref_x, plan.ref_u, plan.ref_y,
+            plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid,
+            nom_x, nom_u, ctg.du, ctg.Kfb,
+        )
+        init = (x0, jnp.zeros(4, dtype=x0.dtype),
+                jnp.zeros((), dtype=x0.dtype), jnp.zeros(P, dtype=x0.dtype))
+        (_, _, V, hacc), (xs, us, ys) = jax.lax.scan(body, init, inputs)
+        return FusedTraj(x=xs, u=us, y=ys, V=V, h=hacc,
+                         viol=jnp.sqrt(jnp.sum(hacc**2)))
+
+    # ------------------------------------------------------------- linearize
+    def _lin_step(x, u, y, fh, t_dynid, t_pidx, t_dt, t_contact,
+                  t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
+                  t_Cx, t_Cu, t_Cy, t_cb, t_cvalid, t_tcid,
+                  alreb, reb_on, include_al_grad):
+        step = lambda xx, uu: _step_dynamics(t_dynid, xx, uu, fh, t_contact, dt0)
+        A, Cm = jax.jacfwd(lambda xx: step(xx, u))(x)     # discrete A, dy/dx
+        Bm, D = jax.jacfwd(lambda uu: step(x, uu))(u)
+        lx, lu, ly = C.running_cost_grads(
+            x, u, y, t_refx, t_refu, t_refy, t_qw, t_rw, t_sw, t_dt
+        )
+        lxx = jnp.diag(2.0 * t_dt * t_qw)
+        luu = jnp.diag(2.0 * t_dt * t_rw)
+        lyy = jnp.diag(2.0 * t_dt * t_sw)
+        g = t_Cx @ x + t_Cu @ u + t_Cy @ y + t_cb
+        g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
+        _, Bz, Bzz = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
+        w1 = reb_on * alreb.eps_reb[t_pidx] * Bz * t_cvalid * t_dt
+        w2 = reb_on * alreb.eps_reb[t_pidx] * Bzz * t_cvalid * t_dt
+        lx = lx + t_Cx.T @ w1
+        lu = lu + t_Cu.T @ w1
+        ly = ly + t_Cy.T @ w1
+        lxx = lxx + t_Cx.T @ (w2[:, None] * t_Cx)
+        luu = luu + t_Cu.T @ (w2[:, None] * t_Cu)
+        lyy = lyy + t_Cy.T @ (w2[:, None] * t_Cy)
+        # terminal cost gradient (+ AL terms under the calc-flag quirk)
+        phix = t_qfw * (x - t_refx)
+        phixx = jnp.diag(t_qfw)
+        hfun = lambda xx: _touchdown(t_tcid, xx, ground_height)
+        h = hfun(x)
+        hx = jax.grad(hfun)(x)
+        hxx = jax.jacfwd(jax.grad(hfun))(x)
+        sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
+        al_on = plan.has_al[t_pidx] * include_al_grad
+        phix = phix + al_on * 50.0 * (sig * sig / 2.0 * hx * h + lam * hx)
+        phixx = phixx + al_on * 50.0 * (
+            sig * sig / 2.0 * (jnp.outer(hx, hx) + h * hxx) + lam * hxx
+        )
+        return A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx
+
+    def make_linearize():
+        def lin(traj: FusedTraj, ref_x, alreb: FusedALReB, reb_on,
+                include_al_grad):
+            x_starts = traj.x[plan.start_idx]
+            fh_p = jax.vmap(
+                lambda x, st, ct: _plan_foothold_fused(
+                    x, st, ct, vel_cmd, ground_height)
+            )(x_starts, plan.stance_time[plan.start_idx],
+              plan.contact[plan.start_idx])
+            fh_t = fh_p[plan.phase_idx]
+
+            outs = jax.vmap(
+                _lin_step,
+                in_axes=(0,) * 21 + (None, None, None),
+            )(traj.x, traj.u, traj.y, fh_t,
+              plan.dyn_id, plan.phase_idx, plan.dt, plan.contact,
+              plan.qw, plan.rw, plan.sw, plan.qfw,
+              ref_x, plan.ref_u, plan.ref_y,
+              plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid, plan.tc_id,
+              alreb, reb_on, include_al_grad)
+            A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx = outs
+
+            # transition jacobians at the pre-reset terminal states,
+            # composed with the projection; stored at next-phase starts
+            def trans_jac(x, trans_id, do_proj):
+                Px = jax.jacfwd(lambda xx: _transition(trans_id, xx))(x)
+                SPx = _proj_matrix(x.dtype) @ Px
+                return jnp.where(do_proj > 0, SPx, Px)
+
+            sidx_next = plan.start_idx[1:]
+            x_terms = traj.x[plan.term_idx[:-1]]
+            Px_p = jax.vmap(trans_jac)(
+                x_terms, plan.trans_id[sidx_next], plan.do_proj[sidx_next]
+            )
+            Px = jnp.zeros((T, XDIM, XDIM), traj.x.dtype)
+            Px = Px.at[sidx_next].set(Px_p)
+            return FusedLin(A=A, Bm=Bm, Cm=Cm, D=D, lx=lx, lu=lu, ly=ly,
+                            lxx=lxx, luu=luu, lyy=lyy, phix=phix,
+                            phixx=phixx, Px=Px)
+
+        return lin
+
+    # -------------------------------------------------------------- backward
+    def backward(lin: FusedLin, reg):
+        eye_x = jnp.eye(XDIM, dtype=lin.A.dtype)
+        eye_u = jnp.eye(UDIM, dtype=lin.A.dtype)
+
+        def body(carry, inp):
+            G1, H1, dV, ok = carry
+            (A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx, Px,
+             t_isdyn, t_isterm, t_isstart) = inp
+
+            # terminal gridpoint: initialize from terminal cost
+            G1 = jnp.where(t_isterm > 0, phix + G1, G1)
+            H1 = jnp.where(t_isterm > 0, phixx + H1, H1)
+
+            # Riccati step (MHPC_CompoundTypes.h:117-144)
+            Qx = lx + A.T @ G1 + Cm.T @ ly
+            Qu = lu + Bm.T @ G1 + D.T @ ly
+            Qxx = lxx + Cm.T @ lyy @ Cm + A.T @ H1 @ A
+            Quu = luu + D.T @ lyy @ D + Bm.T @ H1 @ Bm
+            Qux = D.T @ lyy @ Cm + Bm.T @ H1 @ A
+            Qxx = Qxx + eye_x * reg
+            Quu = Quu + eye_u * reg
+            ok_k = LA.is_pd_chol(Quu, shift=1e-9) | (t_isdyn <= 0)
+            Quu_raw_inv = LA.inv4(Quu)
+            Quu_inv = (Quu_raw_inv + Quu_raw_inv.T) / 2.0
+            Qxx = (Qxx + Qxx.T) / 2.0
+            du = -Quu_inv @ Qu
+            Kk = -Quu_inv @ Qux
+            G_new = Qx - Qux.T @ Quu_inv @ Qu
+            H_new = Qxx - Qux.T @ Quu_inv @ Qux
+            dV_k = -Qu @ (Quu_raw_inv @ Qu)
+
+            G_out = jnp.where(t_isdyn > 0, G_new, G1)
+            H_out = jnp.where(t_isdyn > 0, H_new, H1)
+            dV = dV + t_isdyn * dV_k
+            # phase handoff AFTER this gridpoint's Riccati step: the seam
+            # transform (impact-aware step, MultiPhaseDDP.cpp:299-341) sits
+            # between this phase's start and the previous phase's terminal;
+            # the stored CTG keeps the pre-handoff value (reference CTG[0]).
+            G_carry = jnp.where(t_isstart > 0, Px.T @ G_out, G_out)
+            H_carry = jnp.where(t_isstart > 0, Px.T @ H_out @ Px, H_out)
+            return (G_carry, H_carry, dV, ok & ok_k), (
+                du * t_isdyn, Kk * t_isdyn, G_out
+            )
+
+        inputs = (lin.A, lin.Bm, lin.Cm, lin.D, lin.lx, lin.lu, lin.ly,
+                  lin.lxx, lin.luu, lin.lyy, lin.phix, lin.phixx, lin.Px,
+                  plan.is_dyn, plan.is_term, plan.is_start)
+        dt_ = lin.A.dtype
+        init = (jnp.zeros(XDIM, dt_), jnp.zeros((XDIM, XDIM), dt_),
+                jnp.zeros((), dt_), jnp.asarray(True))
+        (_, _, dV, ok), (dus, Ks, Gs) = jax.lax.scan(
+            body, init, inputs, reverse=True
+        )
+        return ok, dV, FusedCTG(du=dus, Kfb=Ks, G=Gs)
+
+    return dict(plan=plan, rollout=rollout, linearize=make_linearize(),
+                backward=backward, specs=specs, n_phases=P, T=T)

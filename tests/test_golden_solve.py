@@ -1,6 +1,6 @@
 """End-to-end golden test: the full HSDDP solve vs the reference binary's
 default run (tests/golden/reference_run.npz, produced by mhpc_ctrl per
-BASELINE.md).
+BASELINE.md).  Runs on the fused single-scan engine (the default).
 
 Golden .txt files carry ~6 significant digits, so tolerances are set at the
 dump quantization level for each quantity's magnitude.
@@ -33,6 +33,7 @@ def test_state_control_gradient_match(solved):
     loco, res = solved
     g = np.load(GOLDEN)
     state, control, grad = loco.dump_arrays(res)
+    # FB rows are 6-wide in the golden dump (NaN-padded) -> nanmax ignores
     assert np.nanmax(np.abs(state - g["state"])) < 2e-5
     assert np.nanmax(np.abs(control - g["control"])) < 1e-3  # the SLO bound
     assert np.nanmax(np.abs(grad - g["gradient"])) < 1e-2   # |G| ~ 1e3
@@ -41,5 +42,30 @@ def test_state_control_gradient_match(solved):
 def test_control_rows_at_phase_ends_are_zero(solved):
     loco, res = solved
     # the reference never writes u at the terminal gridpoint of a phase
-    for p in range(len(loco.problem.specs)):
-        assert np.all(np.asarray(res.nominal[p].u[-1]) == 0.0)
+    for a, b, _ in loco.phase_slices():
+        assert np.all(np.asarray(res.nominal.u[b - 1]) == 0.0)
+
+
+def test_phase_engine_agrees_with_fused():
+    """The per-phase engine (structural mirror of the reference) and the
+    fused engine produce the same solution on a reduced problem."""
+    import jax.numpy as jnp
+    from mhpc_minimal_env_tpu.runtime.locomotion import (
+        MHPCLocomotion, MHPCProblem, default_problem,
+    )
+    from mhpc_minimal_env_tpu.types import HSDDPOptions
+
+    problem = default_problem(
+        n_wbphase=2, n_fbphase=1,
+        opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=2),
+    )
+    fused = MHPCLocomotion(problem, engine="fused")
+    phase = MHPCLocomotion(problem, engine="phase")
+    rf = fused.solve()
+    rp = phase.solve()
+    assert abs(float(rf.cost) - float(rp.cost)) < 1e-6
+    assert abs(float(rf.viol) - float(rp.viol)) < 1e-9
+    xf = fused.phase_arrays(rf, "u")
+    xp = phase.phase_arrays(rp, "u")
+    for a, b in zip(xf, xp):
+        assert np.abs(a - b).max() < 1e-8
