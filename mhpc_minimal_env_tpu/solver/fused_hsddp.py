@@ -131,18 +131,28 @@ def build_fused_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         )
         return st._replace(alreb=alreb)
 
-    def solve(x0):
+    def solve(x0, warm_x=None, warm_u=None):
+        """Full solve.  With (warm_x, warm_u) given, they seed the nominal
+        trajectory (receding-horizon reuse); otherwise the bounding-PD warm
+        start runs through the same rollout scan."""
         x0 = x0.astype(dtype)
         ref_x = plan.ref_x.at[:, 0].add(x0[0])
         ctg0 = FusedCTG(
             du=jnp.zeros((T, 4), dtype), Kfb=jnp.zeros((T, 4, XDIM), dtype),
             G=jnp.zeros((T, XDIM), dtype),
         )
-        # warm start: PD rollout through the same scan (use_pd=1)
-        zero_traj_x = jnp.zeros((T, XDIM), dtype)
-        zero_traj_u = jnp.zeros((T, 4), dtype)
-        ws = rollout(x0, zero_traj_x, zero_traj_u, ctg0, f0(), ref_x, alreb0,
-                     f0(), jnp.ones((), dtype))
+        if warm_x is None:
+            # warm start: PD rollout through the same scan (use_pd=1)
+            zero_traj_x = jnp.zeros((T, XDIM), dtype)
+            zero_traj_u = jnp.zeros((T, 4), dtype)
+            ws = rollout(x0, zero_traj_x, zero_traj_u, ctg0, f0(), ref_x,
+                         alreb0, f0(), jnp.ones((), dtype))
+        else:
+            ws = FusedTraj(
+                x=warm_x.astype(dtype), u=warm_u.astype(dtype),
+                y=jnp.zeros((T, 4), dtype), V=f0(),
+                h=jnp.zeros(P, dtype), viol=f0(),
+            )
         lin0 = FusedLin(
             A=jnp.zeros((T, XDIM, XDIM), dtype),
             Bm=jnp.zeros((T, XDIM, 4), dtype),
