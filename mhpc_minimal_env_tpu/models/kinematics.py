@@ -98,6 +98,58 @@ def hind_foot_jacobian(q, qd):
     return foot_jacobian(q, qd, hind_foot_position)
 
 
+def homo_transforms(q):
+    """(7,4,4) world-frame homogeneous transforms of every link frame.
+
+    3-D embedding of the planar chain, matching the reference's
+    `get_homoTransformation` (PlanarQuadruped.cpp:140-174): each link frame
+    is a rotation about Y by −(accumulated angle) with translation
+    (x, 0, z).  Row order = linkID2D (body, F_hip, F_knee, H_hip, H_knee,
+    F_foot, H_foot).
+    """
+    origins, angles = link_frames(q)
+
+    def one(p, th):
+        c, s = jnp.cos(th), jnp.sin(th)
+        # ori::coordinateRotation(Y, -th): world→body of a frame at -th,
+        # i.e. the body→world displacement rotation by +th about -Y.
+        H = jnp.zeros((4, 4), dtype=q.dtype)
+        H = H.at[0, 0].set(c).at[0, 2].set(s)
+        H = H.at[1, 1].set(1.0)
+        H = H.at[2, 0].set(-s).at[2, 2].set(c)
+        H = H.at[0, 3].set(p[0]).at[2, 3].set(p[1])
+        H = H.at[3, 3].set(1.0)
+        return H
+
+    return jax.vmap(one)(origins, angles)
+
+
+def contact_position(q, link, loc):
+    """World (x,z) of a point `loc=(x_link, z_link)` on link `link`.
+
+    PlanarQuadruped::get_contact_position (PlanarQuadruped.cpp:177-186);
+    `link` may be traced (gathers over the stacked frames).
+    """
+    origins, angles = link_frames(q)
+    p = jnp.take(origins, link, axis=0)
+    th = jnp.take(angles, link)
+    return p + rot2(th) @ jnp.asarray(loc, dtype=q.dtype)
+
+
+def link_jacobian(q, qd, link, loc):
+    """(J, Jd) of a link-fixed contact point: J = ∂p/∂q (2,7), Jd = J̇.
+
+    The capability of the generated Link0..4Jacobian kernels
+    (CasadiGen/source/Link0Jacobian.c etc.), which the reference compiles
+    but never calls (`PlanarQuadruped::linkJacobian` is an empty stub,
+    PlanarQuadruped.h:72).  Here it is one autodiff of `contact_position`.
+    """
+    fn = lambda qq: contact_position(qq, link, loc)
+    J = jax.jacfwd(fn)(q)
+    Jd = jax.jvp(lambda qq: jax.jacfwd(fn)(qq), (q,), (qd,))[1]
+    return J, Jd
+
+
 def hip_position(q, leg):
     """World position of the hip joint origin. leg: 0 = front, 1 = hind."""
     origins, _ = link_frames(q)
