@@ -42,25 +42,40 @@ def main():
     print(f"[bench] devices={jax.devices()} B={B} dtype={dtype.__name__}",
           file=sys.stderr, flush=True)
 
-    loco = MHPCLocomotion(dtype=dtype)
+    lin_chunk = int(os.environ.get("MHPC_LIN_CHUNK", "48"))
+    loco = MHPCLocomotion(dtype=dtype, lin_chunk=lin_chunk)
     rng = np.random.default_rng(0)
-    x0 = X0_DEFAULT[None, :] + 0.01 * rng.normal(size=(B, 14))
-    x0[0] = X0_DEFAULT  # lane 0 = the golden problem, for fidelity check
-    x0 = jnp.asarray(x0, dtype=dtype)
 
-    t0 = time.time()
-    res = loco.solve_batched(x0)
-    res.cost.block_until_ready()
-    print(f"[bench] first batch (incl compile): {time.time()-t0:.1f}s",
+    def make_x0(B):
+        x0 = X0_DEFAULT[None, :] + 0.01 * rng.normal(size=(B, 14))
+        x0[0] = X0_DEFAULT  # lane 0 = the golden problem, for fidelity check
+        return jnp.asarray(x0, dtype=dtype)
+
+    x0 = make_x0(B)
+    while True:
+        try:
+            t0 = time.time()
+            res = loco.solve_batched(x0)
+            res.cost.block_until_ready()
+            break
+        except Exception as e:  # HBM OOM at large B: halve and retry
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
+                raise
+            B //= 2
+            if B < 1:
+                raise
+            print(f"[bench] OOM, retrying with B={B}", file=sys.stderr,
+                  flush=True)
+            x0 = make_x0(B)
+    print(f"[bench] first batch (incl compile): {time.time()-t0:.1f}s B={B}",
           file=sys.stderr, flush=True)
 
     # fidelity check on lane 0 vs the golden control sequence
     try:
         g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "tests", "golden", "reference_run.npz"))
-        ctrl = np.concatenate(
-            [np.asarray(res.nominal[p].u[0]) for p in range(8)]
-        )
+        # fused engine: nominal.u is (B, T, 4); lane 0 is the golden problem
+        ctrl = np.asarray(res.nominal.u[0]).reshape(-1, 4)
         dev = np.nanmax(np.abs(ctrl - g["control"]))
         print(f"[bench] lane-0 control deviation vs reference: {dev:.2e}",
               file=sys.stderr, flush=True)

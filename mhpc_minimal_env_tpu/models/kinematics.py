@@ -46,19 +46,20 @@ def link_frames(q):
     H_foot (the last two share the knee angle; feet are points).
     """
     x, z, pitch = q[0], q[1], q[2]
+    dt_ = q.dtype
     th_b = pitch
     th_fh = pitch + q[3]
     th_fk = th_fh + q[4]
     th_hh = pitch + q[5]
     th_hk = th_hh + q[6]
 
-    p_body = jnp.array([x, z])
-    p_fhip = p_body + rot2(th_b) @ jnp.array([HIP_LOC_X, 0.0])
-    p_hhip = p_body + rot2(th_b) @ jnp.array([-HIP_LOC_X, 0.0])
-    p_fknee = p_fhip + rot2(th_fh) @ jnp.array([0.0, -HIP_LINK_LENGTH])
-    p_hknee = p_hhip + rot2(th_hh) @ jnp.array([0.0, -HIP_LINK_LENGTH])
-    p_ffoot = p_fknee + rot2(th_fk) @ jnp.array([0.0, -KNEE_LINK_LENGTH])
-    p_hfoot = p_hknee + rot2(th_hk) @ jnp.array([0.0, -KNEE_LINK_LENGTH])
+    p_body = jnp.stack([x, z])
+    p_fhip = p_body + rot2(th_b) @ jnp.array([HIP_LOC_X, 0.0], dt_)
+    p_hhip = p_body + rot2(th_b) @ jnp.array([-HIP_LOC_X, 0.0], dt_)
+    p_fknee = p_fhip + rot2(th_fh) @ jnp.array([0.0, -HIP_LINK_LENGTH], dt_)
+    p_hknee = p_hhip + rot2(th_hh) @ jnp.array([0.0, -HIP_LINK_LENGTH], dt_)
+    p_ffoot = p_fknee + rot2(th_fk) @ jnp.array([0.0, -KNEE_LINK_LENGTH], dt_)
+    p_hfoot = p_hknee + rot2(th_hk) @ jnp.array([0.0, -KNEE_LINK_LENGTH], dt_)
 
     origins = jnp.stack([p_body, p_fhip, p_fknee, p_hhip, p_hknee, p_ffoot, p_hfoot])
     angles = jnp.stack([th_b, th_fh, th_fk, th_hh, th_hk, th_fk, th_hk])

@@ -42,7 +42,8 @@ def _link_origin_angle(q):
 def _dRc(angles):
     """Per-link d/dtheta [R(theta) c] scaled by mass: columns (m cx, m cz)."""
     c, s = jnp.cos(angles), jnp.sin(angles)
-    mcx, mcz = _PI[:, 1], _PI[:, 2]
+    P = _PI.astype(angles.dtype)
+    mcx, mcz = P[:, 1], P[:, 2]
     return jnp.stack([-s * mcx + c * mcz, -c * mcx - s * mcz], axis=1)  # (5,2)
 
 
@@ -55,7 +56,8 @@ def mass_matrix(q):
     """
     Jo, Jw = jax.jacfwd(_link_origin_angle)(q)  # (5,2,7), (5,7)
     _, angles = _link_origin_angle(q)
-    m, io = _PI[:, 0], _PI[:, 3]
+    P = _PI.astype(q.dtype)
+    m, io = P[:, 0], P[:, 3]
     dRc = _dRc(angles)
     M = jnp.einsum("iaj,iak,i->jk", Jo, Jo, m)
     X = jnp.einsum("iaj,ia,ik->jk", Jo, dRc, Jw)
@@ -71,7 +73,8 @@ def kinetic_energy(q, qd):
 def potential_energy(q):
     origins, ang = _link_origin_angle(q)
     c, s = jnp.cos(ang), jnp.sin(ang)
-    m, mcx, mcz = _PI[:, 0], _PI[:, 1], _PI[:, 2]
+    P = _PI.astype(q.dtype)
+    m, mcx, mcz = P[:, 0], P[:, 1], P[:, 2]
     return GRAVITY * jnp.sum(m * origins[:, 1] + (-s * mcx + c * mcz))
 
 

@@ -138,7 +138,7 @@ class MHPCLocomotion:
     """
 
     def __init__(self, problem: MHPCProblem | None = None, dtype=jnp.float64,
-                 engine: str = "fused"):
+                 engine: str = "fused", lin_chunk: int = 48):
         self.problem = problem or default_problem()
         self.dtype = dtype
         self.engine = engine
@@ -148,7 +148,7 @@ class MHPCLocomotion:
             solve_fn, self._eng = build_fused_solver(
                 list(self.problem.specs), self.problem.opt,
                 self.problem.vel_cmd, self.problem.ground_height,
-                self.problem.height_cmd, dtype,
+                self.problem.height_cmd, dtype, lin_chunk=lin_chunk,
             )
             self.single = solve_fn
         else:

@@ -312,9 +312,18 @@ def _pd_policy(dyn_id, x):
 # the engine
 # --------------------------------------------------------------------------
 
+def _chunk_size(T: int, target: int) -> int:
+    """Largest divisor of T that is <= target (for time-chunked maps)."""
+    for c in range(min(target, T), 0, -1):
+        if T % c == 0:
+            return c
+    return 1
+
+
 def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                       vel_cmd: float, ground_height: float,
-                      height_cmd: float = 0.0, dtype=jnp.float64):
+                      height_cmd: float = 0.0, dtype=jnp.float64,
+                      lin_chunk: int = 48):
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     plan = build_plan(specs, vel_cmd, height_cmd, dtype=np_dtype)
     P = len(specs)
@@ -434,6 +443,8 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         return A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx
 
     def make_linearize():
+        CH = _chunk_size(T, lin_chunk)
+
         def lin(traj: FusedTraj, ref_x, alreb: FusedALReB, reb_on,
                 include_al_grad):
             x_starts = traj.x[plan.start_idx]
@@ -444,15 +455,28 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
               plan.contact[plan.start_idx])
             fh_t = fh_p[plan.phase_idx]
 
-            outs = jax.vmap(
-                _lin_step,
-                in_axes=(0,) * 21 + (None, None, None),
-            )(traj.x, traj.u, traj.y, fh_t,
-              plan.dyn_id, plan.phase_idx, plan.dt, plan.contact,
-              plan.qw, plan.rw, plan.sw, plan.qfw,
-              ref_x, plan.ref_u, plan.ref_y,
-              plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid, plan.tc_id,
-              alreb, reb_on, include_al_grad)
+            # Time-chunked jacfwd: one vmap over all T gridpoints would
+            # materialize O(T * tangent-width) intermediates (tens of GB at
+            # batch 256 on a 16 GB chip); lax.map over T/CH chunks bounds
+            # them while each chunk still exposes CH (x batch) lanes.
+            per_t = (traj.x, traj.u, traj.y, fh_t,
+                     plan.dyn_id, plan.phase_idx, plan.dt, plan.contact,
+                     plan.qw, plan.rw, plan.sw, plan.qfw,
+                     ref_x, plan.ref_u, plan.ref_y,
+                     plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid,
+                     plan.tc_id)
+            chunked = jax.tree.map(
+                lambda a: a.reshape((T // CH, CH) + a.shape[1:]), per_t
+            )
+            outs = jax.lax.map(
+                lambda ch: jax.vmap(
+                    _lin_step, in_axes=(0,) * 21 + (None, None, None)
+                )(*ch, alreb, reb_on, include_al_grad),
+                chunked,
+            )
+            outs = jax.tree.map(
+                lambda a: a.reshape((T,) + a.shape[2:]), outs
+            )
             A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx = outs
 
             # transition jacobians at the pre-reset terminal states,

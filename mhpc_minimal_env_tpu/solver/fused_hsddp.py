@@ -33,10 +33,10 @@ class FusedSolveResult(NamedTuple):
 
 
 def build_fused_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
-                       height_cmd=0.0, dtype=jnp.float64):
+                       height_cmd=0.0, dtype=jnp.float64, lin_chunk=48):
     """Returns solve(x0) -> FusedSolveResult (jittable, vmappable)."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
-                            height_cmd, dtype)
+                            height_cmd, dtype, lin_chunk=lin_chunk)
     plan = eng["plan"]
     rollout, linearize, backward = (
         eng["rollout"], eng["linearize"], eng["backward"]

@@ -23,7 +23,9 @@ _STANCE_GAIN = {1: 3.0, 3: 2.2}  # hind-stance x3, front-stance x2.2
 def _pd_control(x, mode: int):
     q, qd = x[:7], x[7:]
     if mode in (2, 4):  # flight: joint PD (boundingPDControl.cpp:40)
-        return _KP * (_QJOINT_NOM - q[3:7]) - _KD * qd[3:7]
+        kp = _KP.astype(x.dtype)
+        kd = _KD.astype(x.dtype)
+        return kp * (_QJOINT_NOM.astype(x.dtype) - q[3:7]) - kd * qd[3:7]
     leg = 1 if mode == 1 else 0  # mode 1 -> hind leg, mode 3 -> front leg
     foot_fn = K.hind_foot_position if leg == 1 else K.front_foot_position
     J = jax.jacfwd(foot_fn)(q)
