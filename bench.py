@@ -43,7 +43,29 @@ def main():
           file=sys.stderr, flush=True)
 
     lin_chunk = int(os.environ.get("MHPC_LIN_CHUNK", "48"))
-    loco = MHPCLocomotion(dtype=dtype, lin_chunk=lin_chunk)
+    engine = os.environ.get("MHPC_BENCH_ENGINE", "vmap")
+    if engine == "batched_pallas":
+        # batch-native engine with the fused Pallas Riccati backward (f32
+        # backward; rollout/linearize in `dtype`) — the throughput path.
+        from mhpc_minimal_env_tpu.runtime.locomotion import default_problem
+        from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
+            build_fused_solver_batched,
+        )
+
+        problem = default_problem()
+        solve_b, _ = build_fused_solver_batched(
+            list(problem.specs), problem.opt, problem.vel_cmd,
+            problem.ground_height, problem.height_cmd, dtype,
+            lin_chunk=lin_chunk, backward="pallas",
+            b_tile=int(os.environ.get("MHPC_BTILE", "512")),
+        )
+
+        class _Loco:
+            solve_batched = staticmethod(jax.jit(solve_b))
+
+        loco = _Loco()
+    else:
+        loco = MHPCLocomotion(dtype=dtype, lin_chunk=lin_chunk)
     rng = np.random.default_rng(0)
 
     def make_x0(B):

@@ -1,0 +1,250 @@
+"""Named benchmark / workload configurations.
+
+The driver metadata (BASELINE.json "configs") defines five headline
+workloads for this framework.  Each entry here is a self-contained builder
++ runner so they can be exercised uniformly from tools/bench_configs.py,
+tests, or user code:
+
+  1. ``mhpc_ctrl_default``   — the reference binary's workload
+     (test_main.cpp:12-34): one HSDDP solve of the default bounding problem
+     (4 WB + 4 FB phases, 720 gridpoints, 2 AL x <=3 DDP iterations), plus
+     control fidelity vs the recorded golden run.
+  2. ``wb_only_extended``    — whole-body-only DDP, extended horizon
+     (two full gait cycles = 8 WB phases, 720 WB gridpoints), tightened
+     convergence thresholds and deeper iteration budget: stresses the
+     backward Riccati recursion on the 14-state model.
+  3. ``multi_phase_bounding``— 6 hybrid phases (4 WB + 2 FB, so both
+     impact-aware WB->WB seams and the WB->FB projection seam are hit) with
+     the full AL/ReB constraint machinery active.
+  4. ``batched_mpc``         — B perturbed initial states solved in parallel
+     on one chip, driven through a receding-horizon MPC loop
+     (runtime/mpc.py `run_batched`): the production serving config.
+  5. ``pod_sweep``           — an N-scenario sweep sharded over the device
+     mesh with `psum`-reduced fleet metrics (parallel/mesh.py): the
+     multi-chip / multi-host config.  On a single chip the mesh is 1-wide;
+     in CI it runs on the 8-device CPU fake mesh.
+
+Runners return a plain dict of metrics (one of which is the headline
+``value``/``unit`` pair) so callers can emit uniform JSON lines.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict
+
+import numpy as np
+
+from .types import HSDDPOptions, PhaseSpec
+
+
+def _golden_path():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "tests", "golden", "reference_run.npz")
+
+
+def _perturbed_x0(B: int, scale: float = 0.01, seed: int = 0,
+                  golden_lane0: bool = True):
+    from .runtime.locomotion import X0_DEFAULT
+
+    rng = np.random.default_rng(seed)
+    x0 = X0_DEFAULT[None, :] + scale * rng.normal(size=(B, 14))
+    if golden_lane0:
+        x0[0] = X0_DEFAULT
+    return x0
+
+
+# --------------------------------------------------------------------------
+# 1. mhpc_ctrl default
+# --------------------------------------------------------------------------
+
+def run_mhpc_ctrl_default(dtype=None, reps: int = 5) -> Dict:
+    """One solve of the reference's default problem; reports wall ms per
+    solve and max |u - u_ref| vs the recorded golden control sequence."""
+    import jax
+    import jax.numpy as jnp
+    from .runtime.locomotion import MHPCLocomotion
+
+    dtype = dtype or jnp.float64
+    loco = MHPCLocomotion(dtype=dtype)
+    res = loco.solve()
+    res.cost.block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = loco.solve()
+        res.cost.block_until_ready()
+        times.append(time.time() - t0)
+    out = {
+        "config": "mhpc_ctrl_default",
+        "value": round(min(times) * 1e3, 3),
+        "unit": "ms/solve",
+        "cost": float(res.cost),
+        "viol": float(res.viol),
+    }
+    try:
+        g = np.load(_golden_path())
+        dev = float(np.nanmax(np.abs(np.asarray(res.nominal.u) - g["control"])))
+        out["control_dev_vs_reference"] = dev
+    except Exception:
+        pass
+    return out
+
+
+# --------------------------------------------------------------------------
+# 2. whole-body-only DDP, extended horizon
+# --------------------------------------------------------------------------
+
+def wb_only_extended_problem(n_cycles: int = 2, dt: float | None = None,
+                             opt: HSDDPOptions | None = None):
+    """8 WB phases (two bounding cycles), no model hierarchy: the backward
+    pass runs the full 14-state Riccati recursion over every gridpoint."""
+    from .models import gait as G
+    from .runtime.locomotion import DT_DEFAULT, MHPCProblem
+
+    dt = DT_DEFAULT if dt is None else dt
+    opt = opt or HSDDPOptions(max_AL_iter=3, max_DDP_iter=10,
+                              DDP_thresh=1e-6, AL_thresh=1e-4)
+    mode_seq = G.mode_sequence(1, 4 * n_cycles)
+    specs = tuple(
+        PhaseSpec(model="wb", mode=m, n_steps=G.num_steps((m,), dt)[0], dt=dt)
+        for m in mode_seq
+    )
+    return MHPCProblem(specs=specs, opt=opt, vel_cmd=1.5,
+                       ground_height=-0.404, height_cmd=0.0)
+
+
+def run_wb_only_extended(dtype=None, reps: int = 3) -> Dict:
+    import jax.numpy as jnp
+    from .runtime.locomotion import MHPCLocomotion
+
+    dtype = dtype or jnp.float64
+    loco = MHPCLocomotion(wb_only_extended_problem(), dtype=dtype)
+    res = loco.solve()
+    res.cost.block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = loco.solve()
+        res.cost.block_until_ready()
+        times.append(time.time() - t0)
+    return {
+        "config": "wb_only_extended",
+        "value": round(min(times) * 1e3, 3),
+        "unit": "ms/solve",
+        "gridpoints": sum(s.n_steps for s in loco.problem.specs),
+        "cost": float(res.cost),
+        "viol": float(res.viol),
+    }
+
+
+# --------------------------------------------------------------------------
+# 3. multi-phase bounding with impacts + AL/ReB
+# --------------------------------------------------------------------------
+
+def multi_phase_bounding_problem(n_wb: int = 4, n_fb: int = 2,
+                                 opt: HSDDPOptions | None = None):
+    from .runtime.locomotion import default_problem
+
+    return default_problem(n_wbphase=n_wb, n_fbphase=n_fb,
+                           opt=opt or HSDDPOptions())
+
+
+def run_multi_phase_bounding(dtype=None, reps: int = 3) -> Dict:
+    import jax.numpy as jnp
+    from .runtime.locomotion import MHPCLocomotion
+
+    dtype = dtype or jnp.float64
+    loco = MHPCLocomotion(multi_phase_bounding_problem(), dtype=dtype)
+    res = loco.solve()
+    res.cost.block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = loco.solve()
+        res.cost.block_until_ready()
+        times.append(time.time() - t0)
+    return {
+        "config": "multi_phase_bounding",
+        "value": round(min(times) * 1e3, 3),
+        "unit": "ms/solve",
+        "phases": len(loco.problem.specs),
+        "cost": float(res.cost),
+        "viol": float(res.viol),
+    }
+
+
+# --------------------------------------------------------------------------
+# 4. batched MPC: B scenarios through a receding-horizon loop on one chip
+# --------------------------------------------------------------------------
+
+def run_batched_mpc(B: int = 1024, n_cycles: int = 4, dtype=None,
+                    opt: HSDDPOptions | None = None) -> Dict:
+    import jax.numpy as jnp
+    from .runtime.mpc import RecedingHorizonMPC
+
+    dtype = dtype or jnp.float64
+    mpc = RecedingHorizonMPC(opt=opt or HSDDPOptions(), dtype=dtype)
+    x0 = _perturbed_x0(B)
+    # compile all cycle modes once
+    warm = mpc.run_batched(x0, n_cycles=min(n_cycles, 4))
+    warm[-1].cost.block_until_ready()
+    t0 = time.time()
+    out = mpc.run_batched(x0, n_cycles=n_cycles)
+    out[-1].cost.block_until_ready()
+    dtime = time.time() - t0
+    solves = B * n_cycles
+    return {
+        "config": "batched_mpc",
+        "value": round(solves / dtime, 2),
+        "unit": "solves/s",
+        "batch": B,
+        "cycles": n_cycles,
+        "mean_final_cost": float(np.mean(np.asarray(out[-1].cost))),
+        "max_final_viol": float(np.max(np.asarray(out[-1].viol))),
+    }
+
+
+# --------------------------------------------------------------------------
+# 5. pod-scale scenario sweep over the device mesh
+# --------------------------------------------------------------------------
+
+def run_pod_sweep(n_scenarios: int = 8192, dtype=None,
+                  n_devices: int | None = None,
+                  opt: HSDDPOptions | None = None) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    from .parallel.mesh import make_mesh, shard_batch, sharded_metrics, sharded_solve
+    from .runtime.locomotion import MHPCLocomotion
+
+    dtype = dtype or jnp.float64
+    loco = MHPCLocomotion(dtype=dtype)
+    mesh = make_mesh(n_devices)
+    n_dev = int(np.prod(mesh.devices.shape))
+    B = (n_scenarios // n_dev) * n_dev
+    x0 = shard_batch(jnp.asarray(_perturbed_x0(B), dtype=dtype), mesh)
+    run = sharded_solve(loco, mesh)
+    res = run(x0)  # compile + run
+    res.cost.block_until_ready()
+    t0 = time.time()
+    res = run(x0)
+    res.cost.block_until_ready()
+    dtime = time.time() - t0
+    metrics = sharded_metrics(loco, mesh)(x0)
+    return {
+        "config": "pod_sweep",
+        "value": round(B / dtime, 2),
+        "unit": "solves/s",
+        "scenarios": B,
+        "devices": n_dev,
+        "fleet_metrics": {k: float(v) for k, v in metrics.items()},
+    }
+
+
+CONFIGS: Dict[str, Callable[..., Dict]] = {
+    "mhpc_ctrl_default": run_mhpc_ctrl_default,
+    "wb_only_extended": run_wb_only_extended,
+    "multi_phase_bounding": run_multi_phase_bounding,
+    "batched_mpc": run_batched_mpc,
+    "pod_sweep": run_pod_sweep,
+}

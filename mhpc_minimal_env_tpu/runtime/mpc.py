@@ -70,15 +70,20 @@ class RecedingHorizonMPC:
     """MPC driver over the bounding gait; one jitted cycle per cmode."""
 
     def __init__(self, n_wbphase=4, n_fbphase=4, dtype=jnp.float64,
-                 opt: HSDDPOptions = HSDDPOptions(), feedback: bool = True):
+                 opt: HSDDPOptions = HSDDPOptions(), feedback: bool = True,
+                 dt=None):
         self.dtype = dtype
         self.n_wb = n_wbphase
         self._cycles = {}
+        self._cycle_fns = {}
+        self._bcycles = {}
         self.problems = {}
         solvers = {}
+        dt_kw = {} if dt is None else dict(dt_wb=dt, dt_fb=dt)
         for cmode in (1, 2, 3, 4):
             problem = default_problem(
-                n_wbphase=n_wbphase, n_fbphase=n_fbphase, cmode=cmode, opt=opt
+                n_wbphase=n_wbphase, n_fbphase=n_fbphase, cmode=cmode,
+                opt=opt, **dt_kw
             )
             self.problems[cmode] = problem
             solvers[cmode], _ = build_fused_solver(
@@ -118,13 +123,13 @@ class RecedingHorizonMPC:
                     warm_u=res.nominal.u[_perm],
                 )
 
+            self._cycle_fns[cmode] = cycle
             self._cycles[cmode] = jax.jit(cycle)
 
-    def run(self, x0, n_cycles: int, cmode: int = 1):
-        """Host-driven receding-horizon loop; returns per-cycle results."""
-        x = jnp.asarray(x0, dtype=self.dtype)
-        # first cycle: bounding-PD warm start (flattened to the fused layout)
-        nominal = warmstart_nominal(self.problems[cmode], x, self.dtype)
+    def _initial_warm(self, cmode: int, x0):
+        """Bounding-PD warm start flattened to the fused layout (traceable,
+        so it vmaps over scenario batches)."""
+        nominal = warmstart_nominal(self.problems[cmode], x0, self.dtype)
         pad = lambda a: (
             a if a.shape[1] == 14
             else jnp.concatenate(
@@ -132,9 +137,38 @@ class RecedingHorizonMPC:
         )
         warm_x = jnp.concatenate([pad(t.x) for t in nominal])
         warm_u = jnp.concatenate([t.u for t in nominal])
+        return warm_x, warm_u
+
+    def run(self, x0, n_cycles: int, cmode: int = 1):
+        """Host-driven receding-horizon loop; returns per-cycle results."""
+        x = jnp.asarray(x0, dtype=self.dtype)
+        warm_x, warm_u = self._initial_warm(cmode, x)
         out = []
         for _ in range(n_cycles):
             res = self._cycles[cmode](x, warm_x, warm_u)
+            out.append(res)
+            x = res.x_next
+            warm_x, warm_u = res.warm_x, res.warm_u
+            cmode = G.next_mode(cmode)
+        return out
+
+    def run_batched(self, x0_batch, n_cycles: int, cmode: int = 1):
+        """Receding-horizon MPC over a (B, 14) scenario batch: every cycle is
+        ONE compiled program (vmapped solve + plant rollout + warm rotation).
+        This is the «batched MPC» production config (BASELINE.json config 4);
+        the per-cycle batch stays device-resident between cycles."""
+        x = jnp.asarray(x0_batch, dtype=self.dtype)
+        mode0 = cmode
+        warm_x, warm_u = jax.jit(
+            jax.vmap(lambda xx: self._initial_warm(mode0, xx))
+        )(x)
+        out = []
+        for _ in range(n_cycles):
+            bc = self._bcycles.get(cmode)
+            if bc is None:
+                bc = jax.jit(jax.vmap(self._cycle_fns[cmode]))
+                self._bcycles[cmode] = bc
+            res = bc(x, warm_x, warm_u)
             out.append(res)
             x = res.x_next
             warm_x, warm_u = res.warm_x, res.warm_u

@@ -1,0 +1,49 @@
+"""The five named BASELINE workload configs: structure + tiny-size smoke.
+
+Full-size runs live in tools/bench_configs.py; here each config's problem
+builder is exercised at test-friendly scale on the CPU mesh.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from mhpc_minimal_env_tpu.configs import (
+    CONFIGS, multi_phase_bounding_problem, wb_only_extended_problem,
+)
+from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion, X0_DEFAULT
+from mhpc_minimal_env_tpu.types import HSDDPOptions
+
+
+def test_config_registry_complete():
+    assert set(CONFIGS) == {
+        "mhpc_ctrl_default", "wb_only_extended", "multi_phase_bounding",
+        "batched_mpc", "pod_sweep",
+    }
+
+
+def test_wb_only_extended_problem_structure():
+    p = wb_only_extended_problem()
+    assert all(s.model == "wb" for s in p.specs)
+    assert len(p.specs) == 8
+    assert tuple(s.mode for s in p.specs) == (1, 2, 3, 4, 1, 2, 3, 4)
+    assert p.opt.DDP_thresh <= 1e-6  # tightened convergence
+
+
+def test_wb_only_solve_tiny():
+    """WB-only (no hierarchy) problem solves: 4 WB phases, coarse dt."""
+    p = wb_only_extended_problem(
+        n_cycles=1, dt=0.01,
+        opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=2),
+    )
+    loco = MHPCLocomotion(p)
+    res = loco.solve(X0_DEFAULT)
+    assert np.isfinite(float(res.cost))
+    assert np.all(np.isfinite(np.asarray(res.nominal.u)))
+
+
+def test_multi_phase_bounding_problem_structure():
+    p = multi_phase_bounding_problem()
+    models = [s.model for s in p.specs]
+    assert models == ["wb"] * 4 + ["fb"] * 2
+    # both impact seams (after modes 2 and 4) inside the WB chain
+    assert 2 in [s.mode for s in p.specs[:4]]
+    assert 4 in [s.mode for s in p.specs[:4]]

@@ -23,3 +23,26 @@ def test_mpc_cycles_advance_plant():
     assert np.allclose(
         np.asarray(out[1].x_exec[0]), np.asarray(out[0].x_next), atol=1e-12
     )
+
+
+def test_mpc_run_batched_matches_single():
+    """run_batched lane semantics == the single-scenario loop."""
+    mpc = RecedingHorizonMPC(
+        n_wbphase=1, n_fbphase=1, dt=0.01,
+        opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=1),
+    )
+    rng = np.random.default_rng(3)
+    x0_b = X0_DEFAULT[None, :] + 0.005 * rng.normal(size=(3, 14))
+    out_b = mpc.run_batched(x0_b, n_cycles=2)
+    assert len(out_b) == 2
+    for lane in range(3):
+        out_s = mpc.run(x0_b[lane], n_cycles=2)
+        for cyc in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out_b[cyc].u_exec[lane]),
+                np.asarray(out_s[cyc].u_exec), atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_b[cyc].x_next[lane]),
+                np.asarray(out_s[cyc].x_next), atol=1e-9,
+            )
