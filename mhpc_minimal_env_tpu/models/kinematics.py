@@ -39,6 +39,13 @@ def rot2(theta):
     return jnp.array([[c, s], [-s, c]])
 
 
+def rotv(theta, v):
+    """rot2(theta) @ v spelled without a dot_general (f64 dots trigger an
+    XLA-TPU compile-time pathology; see ops/linalg.py)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.stack([c * v[0] + s * v[1], -s * v[0] + c * v[1]])
+
+
 def link_frames(q):
     """Origins (7,2) and absolute angles (7,) of every link frame.
 
@@ -54,12 +61,12 @@ def link_frames(q):
     th_hk = th_hh + q[6]
 
     p_body = jnp.stack([x, z])
-    p_fhip = p_body + rot2(th_b) @ jnp.array([HIP_LOC_X, 0.0], dt_)
-    p_hhip = p_body + rot2(th_b) @ jnp.array([-HIP_LOC_X, 0.0], dt_)
-    p_fknee = p_fhip + rot2(th_fh) @ jnp.array([0.0, -HIP_LINK_LENGTH], dt_)
-    p_hknee = p_hhip + rot2(th_hh) @ jnp.array([0.0, -HIP_LINK_LENGTH], dt_)
-    p_ffoot = p_fknee + rot2(th_fk) @ jnp.array([0.0, -KNEE_LINK_LENGTH], dt_)
-    p_hfoot = p_hknee + rot2(th_hk) @ jnp.array([0.0, -KNEE_LINK_LENGTH], dt_)
+    p_fhip = p_body + rotv(th_b, jnp.array([HIP_LOC_X, 0.0], dt_))
+    p_hhip = p_body + rotv(th_b, jnp.array([-HIP_LOC_X, 0.0], dt_))
+    p_fknee = p_fhip + rotv(th_fh, jnp.array([0.0, -HIP_LINK_LENGTH], dt_))
+    p_hknee = p_hhip + rotv(th_hh, jnp.array([0.0, -HIP_LINK_LENGTH], dt_))
+    p_ffoot = p_fknee + rotv(th_fk, jnp.array([0.0, -KNEE_LINK_LENGTH], dt_))
+    p_hfoot = p_hknee + rotv(th_hk, jnp.array([0.0, -KNEE_LINK_LENGTH], dt_))
 
     origins = jnp.stack([p_body, p_fhip, p_fknee, p_hhip, p_hknee, p_ffoot, p_hfoot])
     angles = jnp.stack([th_b, th_fh, th_fk, th_hh, th_hk, th_fk, th_hk])
@@ -134,7 +141,7 @@ def contact_position(q, link, loc):
     origins, angles = link_frames(q)
     p = jnp.take(origins, link, axis=0)
     th = jnp.take(angles, link)
-    return p + rot2(th) @ jnp.asarray(loc, dtype=q.dtype)
+    return p + rotv(th, jnp.asarray(loc, dtype=q.dtype))
 
 
 def link_jacobian(q, qd, link, loc):

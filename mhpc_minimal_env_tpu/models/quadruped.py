@@ -59,15 +59,21 @@ def mass_matrix(q):
     P = _PI.astype(q.dtype)
     m, io = P[:, 0], P[:, 3]
     dRc = _dRc(angles)
-    M = jnp.einsum("iaj,iak,i->jk", Jo, Jo, m)
-    X = jnp.einsum("iaj,ia,ik->jk", Jo, dRc, Jw)
-    M = M + X + X.T + jnp.einsum("ij,ik,i->jk", Jw, Jw, io)
+    # contractions spelled as broadcast-multiply-reduce, NOT einsum/dot:
+    # f64 dot_general emulation on TPU has pathological compile times
+    # (ops/linalg.py has the measurements)
+    M = (Jo[:, :, :, None] * Jo[:, :, None, :]
+         * m[:, None, None, None]).sum((0, 1))
+    X = (Jo[:, :, :, None] * dRc[:, :, None, None]
+         * Jw[:, None, None, :]).sum((0, 1))
+    M = M + X + X.T + (Jw[:, :, None] * Jw[:, None, :]
+                       * io[:, None, None]).sum(0)
     return M
 
 
 def kinetic_energy(q, qd):
     """Total KE = 1/2 qd^T M(q) qd."""
-    return 0.5 * qd @ mass_matrix(q) @ qd
+    return 0.5 * LA.quad_form(qd, mass_matrix(q), qd)
 
 
 def potential_energy(q):
@@ -83,9 +89,9 @@ def bias_forces(q, qd):
     c = Mdot qd - 1/2 d/dq (qd^T M qd):  small-graph alternative to
     differentiating the kinetic energy twice."""
     Mdot = jax.jvp(mass_matrix, (q,), (qd,))[1]
-    quad = lambda qq: qd @ mass_matrix(qq) @ qd
+    quad = lambda qq: LA.quad_form(qd, mass_matrix(qq), qd)
     return (
-        Mdot @ qd
+        LA.mv(Mdot, qd)
         - 0.5 * jax.grad(quad)(q)
         + jax.grad(potential_energy)(q)
     )
@@ -138,9 +144,9 @@ def stance_xdot(x, u, foot):
     # reuses it, so jacfwd-based linearization stays cheap)
     sol = LA.spd_solve(M, jnp.concatenate([rhs[:, None], J.T], axis=1))
     x_free, W = sol[:, 0], sol[:, 1:]
-    S = J @ W                               # 2x2 SPD
-    F = -LA.spd_solve(S, Jd @ qd + J @ x_free)
-    qdd = x_free + W @ F
+    S = LA.mm(J, W)                         # 2x2 SPD
+    F = -LA.spd_solve(S, LA.mv(Jd, qd) + LA.mv(J, x_free))
+    qdd = x_free + LA.mv(W, F)
     return jnp.concatenate([qd, qdd]), _grf_vector(F, foot)
 
 
@@ -179,8 +185,8 @@ def impact_map(x, foot):
     M = mass_matrix(q)
     J = jax.jacfwd(_foot_fn(foot))(q)
     MinvJT = LA.spd_solve(M, J.T)
-    lam = LA.spd_solve(J @ MinvJT, J @ qd)
-    qd_post = qd - MinvJT @ lam
+    lam = LA.spd_solve(LA.mm(J, MinvJT), LA.mv(J, qd))
+    qd_post = qd - LA.mv(MinvJT, lam)
     return jnp.concatenate([q, qd_post]), _grf_vector(-lam, foot)
 
 

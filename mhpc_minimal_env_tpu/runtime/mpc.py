@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import gait as G
+from ..ops import linalg as LA
 from ..models import quadruped as Q
 from ..solver.fused_hsddp import build_fused_solver
 from ..types import HSDDPOptions
@@ -108,7 +109,7 @@ class RecedingHorizonMPC:
 
                 def step(x, inp):
                     nx, nu, Kk = inp
-                    u = nu + (Kk @ (x - nx) if feedback else 0.0)
+                    u = nu + (LA.mv(Kk, x - nx) if feedback else 0.0)
                     x_next, _ = Q.wb_step(x, u, _spec0.mode, _spec0.dt)
                     return x_next, (x, u)
 

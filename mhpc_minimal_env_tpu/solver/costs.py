@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops import linalg as LA
+
 PI = np.pi
 
 # ---------------------------------------------------------------- WB weights
@@ -58,7 +60,7 @@ def weights(model: str, mode: int):
 
 def running_cost(x, u, y, ref_x, ref_u, ref_y, q, r, s, dt):
     dx, du_, dy = x - ref_x, u - ref_u, y - ref_y
-    return (dx @ (q * dx) + du_ @ (r * du_) + dy @ (s * dy)) * dt
+    return (LA.vdot(dx, q * dx) + LA.vdot(du_, r * du_) + LA.vdot(dy, s * dy)) * dt
 
 
 def running_cost_grads(x, u, y, ref_x, ref_u, ref_y, q, r, s, dt):
@@ -72,7 +74,7 @@ def running_cost_grads(x, u, y, ref_x, ref_u, ref_y, q, r, s, dt):
 
 def terminal_cost(x, ref_x, qf):
     dx = x - ref_x
-    return 0.5 * dx @ (qf * dx)
+    return 0.5 * LA.vdot(dx, qf * dx)
 
 
 def terminal_cost_grads(x, ref_x, qf):

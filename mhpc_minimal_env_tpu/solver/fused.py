@@ -356,7 +356,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             fh = jnp.where(t_planfh > 0, fh_new, fh)
 
             # control
-            u_pol = t_nomu + eps * t_du + t_K @ (x - t_nomx)
+            u_pol = t_nomu + eps * t_du + LA.mv(t_K, x - t_nomx)
             u = jnp.where(use_pd > 0, _pd_policy(t_dynid, x), u_pol)
             u = u * t_isdyn
 
@@ -367,7 +367,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             # running cost + ReB barrier
             l = C.running_cost(x, u, y, t_refx, t_refu, t_refy,
                                t_qw, t_rw, t_sw, t_dt)
-            g = t_Cx @ x + t_Cu @ u + t_Cy @ y + t_cb
+            g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
             g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
             Bv, _, _ = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
             l = l + reb_on * jnp.sum(alreb.eps_reb[t_pidx] * Bv * t_cvalid) * t_dt
@@ -416,17 +416,17 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         lxx = jnp.diag(2.0 * t_dt * t_qw)
         luu = jnp.diag(2.0 * t_dt * t_rw)
         lyy = jnp.diag(2.0 * t_dt * t_sw)
-        g = t_Cx @ x + t_Cu @ u + t_Cy @ y + t_cb
+        g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
         g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
         _, Bz, Bzz = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
         w1 = reb_on * alreb.eps_reb[t_pidx] * Bz * t_cvalid * t_dt
         w2 = reb_on * alreb.eps_reb[t_pidx] * Bzz * t_cvalid * t_dt
-        lx = lx + t_Cx.T @ w1
-        lu = lu + t_Cu.T @ w1
-        ly = ly + t_Cy.T @ w1
-        lxx = lxx + t_Cx.T @ (w2[:, None] * t_Cx)
-        luu = luu + t_Cu.T @ (w2[:, None] * t_Cu)
-        lyy = lyy + t_Cy.T @ (w2[:, None] * t_Cy)
+        lx = lx + LA.mv(t_Cx.T, w1)
+        lu = lu + LA.mv(t_Cu.T, w1)
+        ly = ly + LA.mv(t_Cy.T, w1)
+        lxx = lxx + LA.mm(t_Cx.T, w2[:, None] * t_Cx)
+        luu = luu + LA.mm(t_Cu.T, w2[:, None] * t_Cu)
+        lyy = lyy + LA.mm(t_Cy.T, w2[:, None] * t_Cy)
         # terminal cost gradient (+ AL terms under the calc-flag quirk)
         phix = t_qfw * (x - t_refx)
         phixx = jnp.diag(t_qfw)
@@ -438,7 +438,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         al_on = plan.has_al[t_pidx] * include_al_grad
         phix = phix + al_on * 50.0 * (sig * sig / 2.0 * hx * h + lam * hx)
         phixx = phixx + al_on * 50.0 * (
-            sig * sig / 2.0 * (jnp.outer(hx, hx) + h * hxx) + lam * hxx
+            sig * sig / 2.0 * (LA.outer(hx, hx) + h * hxx) + lam * hxx
         )
         return A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx
 
@@ -483,7 +483,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             # composed with the projection; stored at next-phase starts
             def trans_jac(x, trans_id, do_proj):
                 Px = jax.jacfwd(lambda xx: _transition(trans_id, xx))(x)
-                SPx = _proj_matrix(x.dtype) @ Px
+                SPx = LA.mm(_proj_matrix(x.dtype), Px)
                 return jnp.where(do_proj > 0, SPx, Px)
 
             sidx_next = plan.start_idx[1:]
@@ -514,22 +514,27 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             H1 = jnp.where(t_isterm > 0, phixx + H1, H1)
 
             # Riccati step (MHPC_CompoundTypes.h:117-144)
-            Qx = lx + A.T @ G1 + Cm.T @ ly
-            Qu = lu + Bm.T @ G1 + D.T @ ly
-            Qxx = lxx + Cm.T @ lyy @ Cm + A.T @ H1 @ A
-            Quu = luu + D.T @ lyy @ D + Bm.T @ H1 @ Bm
-            Qux = D.T @ lyy @ Cm + Bm.T @ H1 @ A
+            Qx = lx + LA.mv(A.T, G1) + LA.mv(Cm.T, ly)
+            Qu = lu + LA.mv(Bm.T, G1) + LA.mv(D.T, ly)
+            lyyC = LA.mm(lyy, Cm)
+            lyyD = LA.mm(lyy, D)
+            H1A = LA.mm(H1, A)
+            H1B = LA.mm(H1, Bm)
+            Qxx = lxx + LA.mm(Cm.T, lyyC) + LA.mm(A.T, H1A)
+            Quu = luu + LA.mm(D.T, lyyD) + LA.mm(Bm.T, H1B)
+            Qux = LA.mm(D.T, lyyC) + LA.mm(Bm.T, H1A)
             Qxx = Qxx + eye_x * reg
             Quu = Quu + eye_u * reg
             ok_k = LA.is_pd_chol(Quu, shift=1e-9) | (t_isdyn <= 0)
             Quu_raw_inv = LA.inv4(Quu)
             Quu_inv = (Quu_raw_inv + Quu_raw_inv.T) / 2.0
             Qxx = (Qxx + Qxx.T) / 2.0
-            du = -Quu_inv @ Qu
-            Kk = -Quu_inv @ Qux
-            G_new = Qx - Qux.T @ Quu_inv @ Qu
-            H_new = Qxx - Qux.T @ Quu_inv @ Qux
-            dV_k = -Qu @ (Quu_raw_inv @ Qu)
+            du = -LA.mv(Quu_inv, Qu)
+            Kk = -LA.mm(Quu_inv, Qux)
+            QuxT_Quu_inv = LA.mm(Qux.T, Quu_inv)
+            G_new = Qx - LA.mv(QuxT_Quu_inv, Qu)
+            H_new = Qxx - LA.mm(QuxT_Quu_inv, Qux)
+            dV_k = -LA.vdot(Qu, LA.mv(Quu_raw_inv, Qu))
 
             G_out = jnp.where(t_isdyn > 0, G_new, G1)
             H_out = jnp.where(t_isdyn > 0, H_new, H1)
@@ -538,8 +543,9 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             # transform (impact-aware step, MultiPhaseDDP.cpp:299-341) sits
             # between this phase's start and the previous phase's terminal;
             # the stored CTG keeps the pre-handoff value (reference CTG[0]).
-            G_carry = jnp.where(t_isstart > 0, Px.T @ G_out, G_out)
-            H_carry = jnp.where(t_isstart > 0, Px.T @ H_out @ Px, H_out)
+            G_carry = jnp.where(t_isstart > 0, LA.mv(Px.T, G_out), G_out)
+            H_carry = jnp.where(
+                t_isstart > 0, LA.mm(Px.T, LA.mm(H_out, Px)), H_out)
             return (G_carry, H_carry, dV, ok & ok_k), (
                 du * t_isdyn, Kk * t_isdyn, G_out
             )

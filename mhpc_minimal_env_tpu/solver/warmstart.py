@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..models import kinematics as K
 from ..models import quadruped as Q
+from ..ops import linalg as LA
 
 _QJOINT_NOM = jnp.array([jnp.pi / 4, -jnp.pi * 7 / 12, jnp.pi / 4, -jnp.pi * 7 / 12])
 _LEGEXT_NOM = 0.2462
@@ -33,7 +34,7 @@ def _pd_control(x, mode: int):
     norm = jnp.linalg.norm(ext)
     F = -ext / norm * _KSPRING * (norm - _LEGEXT_NOM)
     # J.bottomRightCorner(2,4) = joint columns (boundingPDControl.cpp:30,36)
-    return (J[:, 3:7].T @ F) * _STANCE_GAIN[mode]
+    return LA.mv(J[:, 3:7].T, F) * _STANCE_GAIN[mode]
 
 
 def rollout_pd_phase(x0, mode: int, n_steps: int, dt: float):
