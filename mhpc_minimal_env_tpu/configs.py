@@ -96,9 +96,17 @@ def run_mhpc_ctrl_default(dtype=None, reps: int = 5) -> Dict:
 # --------------------------------------------------------------------------
 
 def wb_only_extended_problem(n_cycles: int = 2, dt: float | None = None,
-                             opt: HSDDPOptions | None = None):
+                             opt: HSDDPOptions | None = None,
+                             duration_scale: float = 1.0):
     """8 WB phases (two bounding cycles), no model hierarchy: the backward
-    pass runs the full 14-state Riccati recursion over every gridpoint."""
+    pass runs the full 14-state Riccati recursion over every gridpoint.
+
+    ``duration_scale`` shrinks the per-phase horizons (test scale).  Note
+    dt must stay near the production 1e-3: the bounding-PD warm start
+    (k_spring = 2200, boundingPDControl.cpp) is explicit-Euler-unstable for
+    dt >= ~2e-3, which makes coarsened-dt problems NaN out by design of the
+    underlying physics, not by solver defect (see tests/test_configs.py
+    ``test_wb_only_graceful_abort_on_unstable_dt``)."""
     from .models import gait as G
     from .runtime.locomotion import DT_DEFAULT, MHPCProblem
 
@@ -107,7 +115,12 @@ def wb_only_extended_problem(n_cycles: int = 2, dt: float | None = None,
                               DDP_thresh=1e-6, AL_thresh=1e-4)
     mode_seq = G.mode_sequence(1, 4 * n_cycles)
     specs = tuple(
-        PhaseSpec(model="wb", mode=m, n_steps=G.num_steps((m,), dt)[0], dt=dt)
+        PhaseSpec(
+            model="wb", mode=m,
+            n_steps=max(2, int(round(duration_scale
+                                     * G.num_steps((m,), dt)[0]))),
+            dt=dt,
+        )
         for m in mode_seq
     )
     return MHPCProblem(specs=specs, opt=opt, vel_cmd=1.5,

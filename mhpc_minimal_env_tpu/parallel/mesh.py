@@ -50,8 +50,6 @@ def sharded_solve(loco, mesh: Mesh, axis: str = "batch"):
 def sharded_metrics(loco, mesh: Mesh, axis: str = "batch"):
     """Scenario sweep that reduces metrics across the mesh with psum:
     returns fn(x0_batch) -> dict of fleet-level statistics (replicated)."""
-    from jax.experimental.shard_map import shard_map
-
     vsolve = jax.vmap(loco.single)
 
     def shard_fn(x0_shard):
@@ -65,9 +63,9 @@ def sharded_metrics(loco, mesh: Mesh, axis: str = "batch"):
             mean_cost=tot / n, worst_violation=worst_viol, aborted=n_aborted
         )
 
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=P(axis, None), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -193,12 +193,15 @@ def build_plan(specs: List[PhaseSpec], vel_cmd, height_cmd, dtype=np.float64):
 
     out = {}
     for k, v in f.items():
-        out[k] = jnp.asarray(v) if v.dtype == np.int32 else jnp.asarray(v, dtype=dtype)
-    return FusedPlan(
-        has_al=jnp.asarray(has_al, dtype=dtype),
-        start_idx=jnp.asarray(start_idx), term_idx=jnp.asarray(term_idx),
+        out[k] = v if v.dtype == np.int32 else np.asarray(v, dtype=dtype)
+    plan = FusedPlan(
+        has_al=np.asarray(has_al, dtype=dtype),
+        start_idx=start_idx, term_idx=term_idx,
         **out,
     )
+    # ONE batched host->device transfer: on a remote-tunneled TPU (axon)
+    # per-array eager transfers cost ~0.5-4 s each, 30 leaves = minutes.
+    return jax.device_put(plan)
 
 
 def initial_fused_alreb(specs: List[PhaseSpec], dtype=jnp.float64) -> FusedALReB:
@@ -216,13 +219,14 @@ def initial_fused_alreb(specs: List[PhaseSpec], dtype=jnp.float64) -> FusedALReB
             delta[p, :n] = d["delta"]
             delta_min[p, :n] = d["delta_min"]
             eps[p, :n] = d["eps_reb"]
-    return FusedALReB(
-        sigma=jnp.asarray(sigma, dtype=dtype),
-        lam=jnp.asarray(lam, dtype=dtype),
-        delta=jnp.asarray(delta, dtype=dtype),
-        delta_min=jnp.asarray(delta_min, dtype=dtype),
-        eps_reb=jnp.asarray(eps, dtype=dtype),
-    )
+    np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    return jax.device_put(FusedALReB(
+        sigma=np.asarray(sigma, dtype=np_dtype),
+        lam=np.asarray(lam, dtype=np_dtype),
+        delta=np.asarray(delta, dtype=np_dtype),
+        delta_min=np.asarray(delta_min, dtype=np_dtype),
+        eps_reb=np.asarray(eps, dtype=np_dtype),
+    ))
 
 
 # --------------------------------------------------------------------------

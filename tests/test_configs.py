@@ -29,15 +29,32 @@ def test_wb_only_extended_problem_structure():
 
 
 def test_wb_only_solve_tiny():
-    """WB-only (no hierarchy) problem solves: 4 WB phases, coarse dt."""
+    """WB-only (no hierarchy) problem solves: 4 WB phases at production dt
+    with shortened horizons (the PD warm start is only Euler-stable near
+    dt=1e-3; see wb_only_extended_problem docstring)."""
     p = wb_only_extended_problem(
-        n_cycles=1, dt=0.01,
+        n_cycles=1, duration_scale=0.2,
         opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=2),
     )
     loco = MHPCLocomotion(p)
     res = loco.solve(X0_DEFAULT)
+    assert not bool(res.aborted)
     assert np.isfinite(float(res.cost))
     assert np.all(np.isfinite(np.asarray(res.nominal.u)))
+
+
+def test_wb_only_graceful_abort_on_unstable_dt():
+    """At dt=0.01 the bounding-PD warm-start rollout diverges (explicit
+    Euler with the k=2200 leg spring is unstable for dt >= ~2e-3) — the
+    solver must flag `aborted` instead of raising, mirroring the
+    reference's backward-sweep abort path (MultiPhaseDDP.cpp:221-226)."""
+    p = wb_only_extended_problem(
+        n_cycles=1, dt=0.01,
+        opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=1),
+    )
+    loco = MHPCLocomotion(p)
+    res = loco.solve(X0_DEFAULT)
+    assert bool(res.aborted)
 
 
 def test_multi_phase_bounding_problem_structure():
