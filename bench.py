@@ -6,82 +6,119 @@ Prints ONE JSON line:
    "vs_baseline": N / 15.0}
 
 Baseline: the reference `mhpc_ctrl` measures ~15 solves/s on one CPU core
-(BASELINE.md: 66 ms/solve).  The workload here is the identical default
-problem (8 phases, 720 steps, 2 AL x 3 DDP iterations) solved for a batch
-of perturbed initial states in float64 (the precision required for <=1e-3
-control fidelity vs the reference; see tests/test_golden_solve.py).
+(BASELINE.md: 66 ms/solve).  The workload is the identical default problem
+(8 phases, 720 gridpoints, 2 AL x <=3 DDP iterations) solved for a batch of
+perturbed initial states; lane 0 is the exact golden problem and its
+control sequence is checked against the recorded reference run.
 
-Env knobs: MHPC_BENCH_BATCH (default 256), MHPC_BENCH_REPS (default 3),
-MHPC_BENCH_DTYPE (f64|f32, default f64).
+Robustness (round-1 failure was rc=124 with no output): this entry point is
+an ORCHESTRATOR that runs worker attempts in subprocesses, each with its
+own wall-clock budget, walking a degradation ladder (smaller batch, f32)
+until one emits a JSON line — so the driver always records a number.  The
+default engine is the staged host-orchestrated solver (solver/staged.py),
+whose three stage graphs compile in minutes, not the >9-minute single
+full-solve graph of round 1; a persistent compilation cache
+(.jax_cache) makes warm runs start in seconds.
+
+Env knobs: MHPC_BENCH_BATCH, MHPC_BENCH_REPS, MHPC_BENCH_DTYPE (f64|f32),
+MHPC_BENCH_ENGINE (staged|staged_pallas|batched|batched_pallas|vmap),
+MHPC_BENCH_BUDGET (total seconds, default 520).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_SOLVES_PER_S = 15.0
 
-def main():
+
+# --------------------------------------------------------------------------
+# worker: one attempt at a fixed config
+# --------------------------------------------------------------------------
+
+def build_solver(engine, dtype, problem, lin_chunk, b_tile):
     import jax
 
-    jax.config.update("jax_enable_x64", True)
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if engine in ("staged", "staged_pallas"):
+        from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
 
-    import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion, X0_DEFAULT
-
-    B = int(os.environ.get("MHPC_BENCH_BATCH", "256"))
-    reps = int(os.environ.get("MHPC_BENCH_REPS", "3"))
-    dtype = jnp.float32 if os.environ.get("MHPC_BENCH_DTYPE") == "f32" else jnp.float64
-
-    print(f"[bench] devices={jax.devices()} B={B} dtype={dtype.__name__}",
-          file=sys.stderr, flush=True)
-
-    lin_chunk = int(os.environ.get("MHPC_LIN_CHUNK", "48"))
-    engine = os.environ.get("MHPC_BENCH_ENGINE", "vmap")
-    if engine == "batched_pallas":
-        # batch-native engine with the fused Pallas Riccati backward (f32
-        # backward; rollout/linearize in `dtype`) — the throughput path.
-        from mhpc_minimal_env_tpu.runtime.locomotion import default_problem
+        solve_b, _ = build_staged_solver(
+            list(problem.specs), problem.opt, problem.vel_cmd,
+            problem.ground_height, problem.height_cmd, dtype,
+            lin_chunk=lin_chunk,
+            backward="pallas" if engine == "staged_pallas" else "xla",
+            b_tile=b_tile,
+        )
+        return solve_b
+    if engine in ("batched", "batched_pallas"):
         from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
             build_fused_solver_batched,
         )
 
-        problem = default_problem()
         solve_b, _ = build_fused_solver_batched(
             list(problem.specs), problem.opt, problem.vel_cmd,
             problem.ground_height, problem.height_cmd, dtype,
-            lin_chunk=lin_chunk, backward="pallas",
-            b_tile=int(os.environ.get("MHPC_BTILE", "512")),
+            lin_chunk=lin_chunk,
+            backward="pallas" if engine == "batched_pallas" else "xla",
+            b_tile=b_tile,
         )
+        return jax.jit(solve_b)
+    # engine == "vmap": jit(vmap(single-solve)) on the fused engine
+    from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion
 
-        class _Loco:
-            solve_batched = staticmethod(jax.jit(solve_b))
+    return MHPCLocomotion(problem, dtype=dtype,
+                          lin_chunk=lin_chunk).solve_batched
 
-        loco = _Loco()
-    else:
-        loco = MHPCLocomotion(dtype=dtype, lin_chunk=lin_chunk)
+
+def worker():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, HERE)
+    from mhpc_minimal_env_tpu.runtime.locomotion import (
+        X0_DEFAULT, default_problem,
+    )
+
+    B = int(os.environ.get("MHPC_BENCH_BATCH", "256"))
+    reps = int(os.environ.get("MHPC_BENCH_REPS", "3"))
+    dtype = (jnp.float32 if os.environ.get("MHPC_BENCH_DTYPE") == "f32"
+             else jnp.float64)
+    engine = os.environ.get("MHPC_BENCH_ENGINE", "staged")
+    lin_chunk = int(os.environ.get("MHPC_LIN_CHUNK", "48"))
+    b_tile = int(os.environ.get("MHPC_BTILE", "512"))
+
+    print(f"[bench] devices={jax.devices()} engine={engine} B={B} "
+          f"dtype={dtype.__name__}", file=sys.stderr, flush=True)
+
+    problem = default_problem()
+    solve = build_solver(engine, dtype, problem, lin_chunk, b_tile)
     rng = np.random.default_rng(0)
 
     def make_x0(B):
         x0 = X0_DEFAULT[None, :] + 0.01 * rng.normal(size=(B, 14))
-        x0[0] = X0_DEFAULT  # lane 0 = the golden problem, for fidelity check
+        x0[0] = X0_DEFAULT  # lane 0 = the golden problem (fidelity check)
         return jnp.asarray(x0, dtype=dtype)
 
     x0 = make_x0(B)
+    t0 = time.time()
     while True:
         try:
-            t0 = time.time()
-            res = loco.solve_batched(x0)
+            res = solve(x0)
             res.cost.block_until_ready()
             break
         except Exception as e:  # HBM OOM at large B: halve and retry
-            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    and "memory" not in str(e).lower()):
                 raise
             B //= 2
             if B < 1:
@@ -92,13 +129,13 @@ def main():
     print(f"[bench] first batch (incl compile): {time.time()-t0:.1f}s B={B}",
           file=sys.stderr, flush=True)
 
-    # fidelity check on lane 0 vs the golden control sequence
+    # fidelity: lane-0 control sequence vs the reference binary's golden run
+    dev = None
     try:
-        g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "tests", "golden", "reference_run.npz"))
-        # fused engine: nominal.u is (B, T, 4); lane 0 is the golden problem
+        g = np.load(os.path.join(HERE, "tests", "golden",
+                                 "reference_run.npz"))
         ctrl = np.asarray(res.nominal.u[0]).reshape(-1, 4)
-        dev = np.nanmax(np.abs(ctrl - g["control"]))
+        dev = float(np.nanmax(np.abs(ctrl - g["control"])))
         print(f"[bench] lane-0 control deviation vs reference: {dev:.2e}",
               file=sys.stderr, flush=True)
     except Exception as e:  # fidelity check must not kill the bench
@@ -107,7 +144,7 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.time()
-        res = loco.solve_batched(x0)
+        res = solve(x0)
         res.cost.block_until_ready()
         times.append(time.time() - t0)
     best = min(times)
@@ -115,13 +152,77 @@ def main():
     print(f"[bench] times={['%.3f' % t for t in times]} best={best:.3f}s",
           file=sys.stderr, flush=True)
 
-    print(json.dumps({
+    out = {
         "metric": "hsddp_solves_per_s",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 15.0, 2),
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "batch": B,
+        "engine": engine,
+        "dtype": dtype.__name__,
+    }
+    if dev is not None:
+        out["control_dev_vs_reference"] = dev
+    print(json.dumps(out), flush=True)
+
+
+# --------------------------------------------------------------------------
+# orchestrator: degradation ladder in subprocesses
+# --------------------------------------------------------------------------
+
+LADDER = [
+    # (env overrides, per-attempt budget seconds)
+    ({}, 420),                                                # as configured
+    ({"MHPC_BENCH_BATCH": "64"}, 240),                        # smaller batch
+    ({"MHPC_BENCH_BATCH": "64", "MHPC_BENCH_DTYPE": "f32"}, 200),
+    ({"MHPC_BENCH_BATCH": "8", "MHPC_BENCH_DTYPE": "f32",
+      "MHPC_BENCH_REPS": "1"}, 150),
+]
+
+
+def orchestrate():
+    total_budget = float(os.environ.get("MHPC_BENCH_BUDGET", "520"))
+    deadline = time.time() + total_budget
+    last_err = ""
+    for i, (overrides, budget) in enumerate(LADDER):
+        remaining = deadline - time.time()
+        if remaining < 30:
+            break
+        attempt_budget = min(budget, remaining)
+        env = dict(os.environ)
+        env.update(overrides)
+        print(f"[bench] attempt {i}: overrides={overrides} "
+              f"budget={attempt_budget:.0f}s", file=sys.stderr, flush=True)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                env=env, capture_output=True, text=True,
+                timeout=attempt_budget,
+            )
+        except subprocess.TimeoutExpired as e:
+            tail = (e.stderr or "")[-500:] if isinstance(e.stderr, str) else ""
+            last_err = f"attempt {i} timed out after {attempt_budget:.0f}s"
+            print(f"[bench] {last_err}\n{tail}", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(p.stderr[-4000:])
+        json_lines = [l for l in p.stdout.splitlines()
+                      if l.startswith("{") and '"metric"' in l]
+        if p.returncode == 0 and json_lines:
+            print(json_lines[-1], flush=True)
+            return 0
+        last_err = f"attempt {i} rc={p.returncode}"
+        print(f"[bench] {last_err}: {p.stdout[-300:]}", file=sys.stderr,
+              flush=True)
+    # every rung failed: emit an honest zero so the driver records the miss
+    print(json.dumps({
+        "metric": "hsddp_solves_per_s", "value": 0.0, "unit": "solves/s",
+        "vs_baseline": 0.0, "error": last_err or "no attempt ran",
     }), flush=True)
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        sys.exit(orchestrate())

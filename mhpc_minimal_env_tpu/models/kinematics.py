@@ -115,19 +115,16 @@ def homo_transforms(q):
     (x, 0, z).  Row order = linkID2D (body, F_hip, F_knee, H_hip, H_knee,
     F_foot, H_foot).
     """
+    from ..utils import orientation as ORI
+
     origins, angles = link_frames(q)
 
     def one(p, th):
-        c, s = jnp.cos(th), jnp.sin(th)
-        # ori::coordinateRotation(Y, -th): world→body of a frame at -th,
-        # i.e. the body→world displacement rotation by +th about -Y.
-        H = jnp.zeros((4, 4), dtype=q.dtype)
-        H = H.at[0, 0].set(c).at[0, 2].set(s)
-        H = H.at[1, 1].set(1.0)
-        H = H.at[2, 0].set(-s).at[2, 2].set(c)
-        H = H.at[0, 3].set(p[0]).at[2, 3].set(p[1])
-        H = H.at[3, 3].set(1.0)
-        return H
+        # the reference's own call path (PlanarQuadruped.cpp:142-175):
+        # ori::coordinateRotation(Y, -th) composed into homoTransformation.
+        R = ORI.coordinate_rotation(ORI.AXIS_Y, -th)
+        zero = jnp.zeros((), dtype=q.dtype)
+        return ORI.homo_transformation(R, jnp.stack([p[0], zero, p[1]]))
 
     return jax.vmap(one)(origins, angles)
 

@@ -56,14 +56,20 @@ def default_problem(
     height_cmd: float = 0.0,
     ground_height: float = -0.404,
     opt: HSDDPOptions = HSDDPOptions(),
+    duration_scale: float = 1.0,
 ) -> MHPCProblem:
+    """The reference's default bounding problem (test_main.cpp:12-34).
+
+    ``duration_scale < 1`` shrinks per-phase horizons for test-size
+    problems while keeping the production dt (coarsening dt instead makes
+    the k=2200 bounding-PD warm start explicit-Euler unstable)."""
     n_phases = n_wbphase + n_fbphase
     mode_seq = G.mode_sequence(cmode, n_phases)
     specs = []
     for p, mode in enumerate(mode_seq):
         model = "wb" if p < n_wbphase else "fb"
         dt = dt_wb if model == "wb" else dt_fb
-        n = G.num_steps((mode,), dt)[0]
+        n = max(2, int(round(duration_scale * G.num_steps((mode,), dt)[0])))
         specs.append(PhaseSpec(model=model, mode=mode, n_steps=n, dt=dt))
     return MHPCProblem(
         specs=tuple(specs), opt=opt, vel_cmd=vel_cmd,

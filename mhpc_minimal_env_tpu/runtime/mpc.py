@@ -72,7 +72,7 @@ class RecedingHorizonMPC:
 
     def __init__(self, n_wbphase=4, n_fbphase=4, dtype=jnp.float64,
                  opt: HSDDPOptions = HSDDPOptions(), feedback: bool = True,
-                 dt=None):
+                 dt=None, duration_scale: float = 1.0):
         self.dtype = dtype
         self.n_wb = n_wbphase
         self._cycles = {}
@@ -84,7 +84,7 @@ class RecedingHorizonMPC:
         for cmode in (1, 2, 3, 4):
             problem = default_problem(
                 n_wbphase=n_wbphase, n_fbphase=n_fbphase, cmode=cmode,
-                opt=opt, **dt_kw
+                opt=opt, duration_scale=duration_scale, **dt_kw
             )
             self.problems[cmode] = problem
             solvers[cmode], _ = build_fused_solver(

@@ -31,9 +31,12 @@ def _load():
         _build()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.mhpc_exec_create.restype = ctypes.c_void_p
-    lib.mhpc_exec_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.mhpc_exec_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int
+    ]
     lib.mhpc_exec_destroy.argtypes = [ctypes.c_void_p]
     lib.mhpc_exec_set_torque_limit.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.mhpc_exec_publish.restype = ctypes.c_int
     lib.mhpc_exec_publish.argtypes = [
         ctypes.c_void_p, ctypes.c_int, _c_double_p, _c_double_p, _c_double_p
     ]
@@ -61,10 +64,11 @@ def get_lib():
 class NativeExecutor:
     """Real-time feedback-policy executor (double-buffered plans, ring log)."""
 
-    def __init__(self, xs=14, us=4, log_capacity=4096):
+    def __init__(self, xs=14, us=4, log_capacity=4096, max_steps=256):
         self._lib = get_lib()
         self.xs, self.us = xs, us
-        self._h = self._lib.mhpc_exec_create(xs, us, log_capacity)
+        self.max_steps = max_steps
+        self._h = self._lib.mhpc_exec_create(xs, us, log_capacity, max_steps)
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -78,12 +82,19 @@ class NativeExecutor:
         n = x_nom.shape[0]
         assert x_nom.shape == (n, self.xs) and u_nom.shape == (n, self.us)
         assert K.shape == (n, self.us, self.xs)
-        self._lib.mhpc_exec_publish(
+        rc = self._lib.mhpc_exec_publish(
             self._h, n,
             x_nom.ctypes.data_as(_c_double_p),
             u_nom.ctypes.data_as(_c_double_p),
             K.ctypes.data_as(_c_double_p),
         )
+        if rc != 0:
+            raise ValueError(
+                f"plan of {n} steps exceeds preallocated max_steps="
+                f"{self.max_steps}")
+
+    def set_torque_limit(self, lim: float):
+        self._lib.mhpc_exec_set_torque_limit(self._h, float(lim))
 
     @property
     def plan_seq(self):

@@ -332,9 +332,10 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
     plan = build_plan(specs, vel_cmd, height_cmd, dtype=np_dtype)
     P = len(specs)
     T = int(sum(s.n_steps for s in specs))
-    dts = {s.dt for s in specs}
-    assert len(dts) == 1, "fused engine assumes a uniform dt"
-    dt0 = float(next(iter(dts)))
+    # terminal AL machinery obeys HSDDP_OPTION.AL_active
+    # (SinglePhase.cpp:110,141,178); static at build time so the disabled
+    # branch constant-folds out of the compiled graphs.
+    al_gate = 1.0 if getattr(opt, "AL_active", True) else 0.0
 
     # --------------------------------------------------------------- rollout
     def rollout(x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x, alreb: FusedALReB,
@@ -365,7 +366,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             u = u * t_isdyn
 
             # dynamics
-            x_next, y = _step_dynamics(t_dynid, x, u, fh, t_contact, dt0)
+            x_next, y = _step_dynamics(t_dynid, x, u, fh, t_contact, t_dt)
             y = y * t_isdyn
 
             # running cost + ReB barrier
@@ -381,7 +382,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             phi = C.terminal_cost(x, t_refx, t_qfw)
             h = _touchdown(t_tcid, x, ground_height)
             sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
-            phi = phi + plan.has_al[t_pidx] * 50.0 * (
+            phi = phi + plan.has_al[t_pidx] * (50.0 * al_gate) * (
                 (sig * h / 2.0) ** 2 + lam * h
             )
             V = V + t_isterm * phi
@@ -411,7 +412,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                   t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
                   t_Cx, t_Cu, t_Cy, t_cb, t_cvalid, t_tcid,
                   alreb, reb_on, include_al_grad):
-        step = lambda xx, uu: _step_dynamics(t_dynid, xx, uu, fh, t_contact, dt0)
+        step = lambda xx, uu: _step_dynamics(t_dynid, xx, uu, fh, t_contact, t_dt)
         A, Cm = jax.jacfwd(lambda xx: step(xx, u))(x)     # discrete A, dy/dx
         Bm, D = jax.jacfwd(lambda uu: step(x, uu))(u)
         lx, lu, ly = C.running_cost_grads(
@@ -439,7 +440,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         hx = jax.grad(hfun)(x)
         hxx = jax.jacfwd(jax.grad(hfun))(x)
         sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
-        al_on = plan.has_al[t_pidx] * include_al_grad
+        al_on = plan.has_al[t_pidx] * include_al_grad * al_gate
         phix = phix + al_on * 50.0 * (sig * sig / 2.0 * hx * h + lam * hx)
         phixx = phixx + al_on * 50.0 * (
             sig * sig / 2.0 * (LA.outer(hx, hx) + h * hxx) + lam * hxx

@@ -30,9 +30,12 @@ def almost_equal(a, b, tol) -> jnp.ndarray:
 def interpolate_linear(t, ts, ys):
     """Piecewise-linear interpolation of a sampled trajectory.
 
-    ys: (N, ...) samples at sorted times ts: (N,).  Used by the MPC
-    execution layer to evaluate plans between gridpoints; the reference
-    executes zero-order-hold plans only, this is a strict superset.
+    ys: (N, ...) samples at sorted times ts: (N,).  Utility for evaluating
+    plans between gridpoints (the reference itself executes
+    zero-order-hold plans only — MHPCLocomotion.cpp:178-194 copies raw
+    gridpoint controls — so nothing in the production solve path calls
+    this; it exists for user execution layers that run faster than the
+    plan rate).
     """
     idx = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0, ts.shape[0] - 2)
     t0, t1 = ts[idx], ts[idx + 1]

@@ -26,15 +26,21 @@ def test_mpc_cycles_advance_plant():
 
 
 def test_mpc_run_batched_matches_single():
-    """run_batched lane semantics == the single-scenario loop."""
+    """run_batched lane semantics == the single-scenario loop.
+
+    Runs at the production dt=1e-3 with duration_scale-shrunk horizons:
+    the bounding-PD warm start is Euler-unstable at coarsened dt, which in
+    round 1 made this test compare diverged (1e15-magnitude) plants."""
     mpc = RecedingHorizonMPC(
-        n_wbphase=1, n_fbphase=1, dt=0.01,
+        n_wbphase=1, n_fbphase=1, duration_scale=0.1,
         opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=1),
     )
     rng = np.random.default_rng(3)
     x0_b = X0_DEFAULT[None, :] + 0.005 * rng.normal(size=(3, 14))
     out_b = mpc.run_batched(x0_b, n_cycles=2)
     assert len(out_b) == 2
+    # sanity: the plants stayed bounded (the round-1 failure mode)
+    assert float(np.max(np.abs(np.asarray(out_b[-1].x_next)))) < 1e3
     for lane in range(3):
         out_s = mpc.run(x0_b[lane], n_cycles=2)
         for cyc in range(2):
