@@ -126,6 +126,72 @@ def flight_xdot(x, u):
     return jnp.concatenate([qd, qdd]), jnp.zeros(4, dtype=x.dtype)
 
 
+def _both_feet_J_Jd(q, qd):
+    """Stacked (4,7) Jacobian / Jacobian-dot of (front, hind) feet."""
+    Jf, Jdf = _foot_J_Jd(q, qd, 0)
+    Jh, Jdh = _foot_J_Jd(q, qd, 1)
+    return (jnp.concatenate([Jf, Jh], axis=0),
+            jnp.concatenate([Jdf, Jdh], axis=0))
+
+
+def _masked_kkt(S, r, c):
+    """Solve the contact force system with per-row gates c in {0,1}:
+    inactive rows/columns are replaced by identity / zero rhs, which makes
+    the active sub-block's arithmetic IDENTICAL (bitwise) to solving it
+    alone — the unrolled Cholesky pivots of a block-diagonal
+    [I, S_active] touch the active entries with the same operations."""
+    Sm = S * c[:, None] * c[None, :] + jnp.diag(1.0 - c)
+    F = LA.spd_solve(Sm, r * c)
+    return F * c
+
+
+def wb_xdot_masked(x, u, cf, ch):
+    """Mode-unified continuous WB dynamics with contact gates
+    (cf, ch) in {0,1} for (front, hind) feet.
+
+    Reproduces Dyn_BS ((0,1)), Dyn_FS ((1,0)) and Dyn_FL ((0,0))
+    bit-for-bit (see _masked_kkt): ONE graph for all three contact modes,
+    which roughly halves the XLA graph of the fused rollout/linearize
+    scan bodies vs a 3-branch lax.switch of separate stance/flight
+    dynamics.  y = (Fx_F, Fz_F, Fx_H, Fz_H) ground-reaction forces.
+    """
+    q, qd = x[:7], x[7:]
+    M = mass_matrix(q)
+    J, Jd = _both_feet_J_Jd(q, qd)
+    rhs = _actuation(u) - bias_forces(q, qd)
+    sol = LA.spd_solve(M, jnp.concatenate([rhs[:, None], J.T], axis=1))
+    x_free, W = sol[:, 0], sol[:, 1:]          # (7,), (7,4)
+    S = LA.mm(J, W)                            # (4,4)
+    c = jnp.stack([cf, cf, ch, ch]).astype(x.dtype)
+    F = -_masked_kkt(S, LA.mv(Jd, qd) + LA.mv(J, x_free), c)
+    qdd = x_free + LA.mv(W, F)
+    return jnp.concatenate([qd, qdd]), F
+
+
+# contact gates per WB mode (PlanarQuadruped.cpp:12-24): (front, hind)
+WB_CONTACT = {BACK_STANCE: (0.0, 1.0), FLIGHT1: (0.0, 0.0),
+              FRONT_STANCE: (1.0, 0.0), FLIGHT2: (0.0, 0.0)}
+
+
+def impact_map_masked(x, cf, ch):
+    """Foot-gated plastic impact: qd+ = qd - M^-1 J^T lam,
+    lam = (J M^-1 J^T)^-1 J qd restricted to the gated foot rows.
+
+    (cf, ch) = (1, 0) reproduces Imp_F, (0, 1) reproduces Imp_B, and
+    (0, 0) is EXACTLY the identity map (lam = 0) — so phase seams with no
+    impact need no separate branch.  y = contact impulse.
+    """
+    q, qd = x[:7], x[7:]
+    M = mass_matrix(q)
+    J, _ = _both_feet_J_Jd(q, qd)
+    MinvJT = LA.spd_solve(M, J.T)              # (7,4)
+    S = LA.mm(J, MinvJT)                       # (4,4)
+    c = jnp.stack([cf, cf, ch, ch]).astype(x.dtype)
+    lam = _masked_kkt(S, LA.mv(J, qd), c)
+    qd_post = qd - LA.mv(MinvJT, lam)
+    return jnp.concatenate([q, qd_post]), -lam
+
+
 def stance_xdot(x, u, foot):
     """Continuous dynamics with one foot pinned (Dyn_BS.c foot=1 /
     Dyn_FS.c foot=0); y = ground-reaction force of the stance foot.

@@ -59,6 +59,7 @@ class FusedPlan(NamedTuple):
     contact: jnp.ndarray       # (T, 2)
     plan_fh: jnp.ndarray       # (T,)
     stance_time: jnp.ndarray   # (T,)
+    pd_gain: jnp.ndarray       # (T,) bounding-PD stance gain (0 = flight/FB)
     qw: jnp.ndarray            # (T, 14)
     rw: jnp.ndarray            # (T, 4)
     sw: jnp.ndarray            # (T, 4)
@@ -128,7 +129,7 @@ def build_plan(specs: List[PhaseSpec], vel_cmd, height_cmd, dtype=np.float64):
         do_proj=np.zeros(T), tc_id=np.zeros(T, np.int32),
         phase_idx=np.zeros(T, np.int32), wb_mask=np.zeros(T),
         dt=np.zeros(T), contact=np.zeros((T, 2)), plan_fh=np.zeros(T),
-        stance_time=np.zeros(T),
+        stance_time=np.zeros(T), pd_gain=np.zeros(T),
         qw=np.zeros((T, XDIM)), rw=np.zeros((T, UDIM)), sw=np.zeros((T, YDIM)),
         qfw=np.zeros((T, XDIM)),
         ref_x=np.zeros((T, XDIM)), ref_u=np.zeros((T, UDIM)),
@@ -158,6 +159,8 @@ def build_plan(specs: List[PhaseSpec], vel_cmd, height_cmd, dtype=np.float64):
         if s.model == "wb":
             f["wb_mask"][sl] = 1
             f["dyn_id"][sl] = {1: DYN_BS, 2: DYN_FL, 3: DYN_FS, 4: DYN_FL}[s.mode]
+            f["contact"][sl] = Q.WB_CONTACT[s.mode]
+            f["pd_gain"][sl] = {1: 3.0, 3: 2.2}.get(s.mode, 0.0)
             if s.mode in (2, 4):
                 f["tc_id"][t0 + n - 1] = TC_FRONT if s.mode == 2 else TC_HIND
                 has_al[p] = 1
@@ -238,34 +241,29 @@ def _pad14(x6):
 
 
 def _step_dynamics(dyn_id, x, u, fh, ct, dt):
-    def bs(x, u, fh, ct):
-        return Q.wb_step(x, u, 1, dt)
-
-    def fl(x, u, fh, ct):
-        return Q.wb_step(x, u, 2, dt)
-
-    def fs(x, u, fh, ct):
-        return Q.wb_step(x, u, 3, dt)
+    """One Euler step.  WB contact modes share ONE mode-unified masked-KKT
+    graph (Q.wb_xdot_masked — bit-identical to the per-mode dynamics);
+    only the FB model needs a separate branch.  Halving the branch count
+    halves the compile-dominating scan-body graph."""
+    def wb(x, u, fh, ct):
+        xdot, y = Q.wb_xdot_masked(x, u, ct[0], ct[1])
+        return x + xdot * dt, y
 
     def fb(x, u, fh, ct):
         x6 = x[:6]
         xdot = FB.fb_continuous_dynamics(x6, u, fh, ct)
         return _pad14(x6 + xdot * dt), jnp.zeros(4, dtype=x.dtype)
 
-    return jax.lax.switch(dyn_id, [bs, fl, fs, fb], x, u, fh, ct)
+    return jax.lax.cond(dyn_id == DYN_FB, fb, wb, x, u, fh, ct)
 
 
 def _transition(trans_id, x):
-    def ident(x):
-        return x
-
-    def impf(x):
-        return Q.impact_map(x, 0)[0]
-
-    def impb(x):
-        return Q.impact_map(x, 1)[0]
-
-    return jax.lax.switch(trans_id, [ident, ident, impf, impb], x)
+    """Reset map at a phase seam: foot-gated plastic impact.  Gates of
+    (0, 0) are EXACTLY the identity (lam = 0), so no branch is needed for
+    the identity/no-op codes — one graph serves all four codes."""
+    cf = (trans_id == TR_IMPF).astype(x.dtype)
+    ch = (trans_id == TR_IMPB).astype(x.dtype)
+    return Q.impact_map_masked(x, cf, ch)[0]
 
 
 def _proj_matrix(dtype):
@@ -300,16 +298,14 @@ def _touchdown(tc_id, x, ground_height):
                      jnp.where(tc_id == TC_HIND, h_h, jnp.zeros((), x.dtype)))
 
 
-def _pd_policy(dyn_id, x):
-    """Bounding PD warm-start law (boundingPDControl.cpp)."""
-    from .warmstart import _pd_control
+def _pd_policy(x, ct, pd_gain, wb_mask):
+    """Bounding PD warm-start law (boundingPDControl.cpp), mode-unified:
+    contact gates select the leg-spring stance term, pd_gain carries the
+    per-mode stance gain, wb_mask zeroes FB gridpoints (bit-identical to
+    the old 4-branch switch)."""
+    from .warmstart import pd_control_masked
 
-    return jax.lax.switch(
-        dyn_id,
-        [lambda x: _pd_control(x, 1), lambda x: _pd_control(x, 2),
-         lambda x: _pd_control(x, 3), lambda x: jnp.zeros(4, dtype=x.dtype)],
-        x,
-    )
+    return pd_control_masked(x, ct[0], ct[1], pd_gain) * wb_mask
 
 
 # --------------------------------------------------------------------------
@@ -338,13 +334,13 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
     al_gate = 1.0 if getattr(opt, "AL_active", True) else 0.0
 
     # --------------------------------------------------------------- rollout
-    def rollout(x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x, alreb: FusedALReB,
-                reb_on, use_pd):
+    def _rollout_impl(x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x,
+                      alreb: FusedALReB, reb_on, use_pd, with_traj=True):
         def body(carry, inp):
             x, fh, V, hacc = carry
             (t_isdyn, t_isterm, t_isstart, t_dynid, t_transid, t_doproj,
              t_tcid, t_pidx, t_wb, t_dt, t_contact, t_planfh, t_stime,
-             t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
+             t_pdgain, t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
              t_Cx, t_Cu, t_Cy, t_cb, t_cvalid,
              t_nomx, t_nomu, t_du, t_K) = inp
 
@@ -362,7 +358,8 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
 
             # control
             u_pol = t_nomu + eps * t_du + LA.mv(t_K, x - t_nomx)
-            u = jnp.where(use_pd > 0, _pd_policy(t_dynid, x), u_pol)
+            u = jnp.where(use_pd > 0,
+                          _pd_policy(x, t_contact, t_pdgain, t_wb), u_pol)
             u = u * t_isdyn
 
             # dynamics
@@ -390,22 +387,37 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
 
             x_store = x * jnp.where(use_pd > 0, t_wb, jnp.ones((), x.dtype))
             x_carry = jnp.where(t_isdyn > 0, x_next, x)
-            return (x_carry, fh, V, hacc), (x_store, u, y)
+            out = (x_store, u, y) if with_traj else None
+            return (x_carry, fh, V, hacc), out
 
         inputs = (
             plan.is_dyn, plan.is_term, plan.is_start, plan.dyn_id,
             plan.trans_id, plan.do_proj, plan.tc_id, plan.phase_idx,
             plan.wb_mask, plan.dt, plan.contact, plan.plan_fh,
-            plan.stance_time, plan.qw, plan.rw, plan.sw, plan.qfw,
+            plan.stance_time, plan.pd_gain,
+            plan.qw, plan.rw, plan.sw, plan.qfw,
             ref_x, plan.ref_u, plan.ref_y,
             plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid,
             nom_x, nom_u, ctg.du, ctg.Kfb,
         )
         init = (x0, jnp.zeros(4, dtype=x0.dtype),
                 jnp.zeros((), dtype=x0.dtype), jnp.zeros(P, dtype=x0.dtype))
-        (_, _, V, hacc), (xs, us, ys) = jax.lax.scan(body, init, inputs)
+        (_, _, V, hacc), outs = jax.lax.scan(body, init, inputs)
+        if not with_traj:
+            # cost/violation-only variant (line-search trials): no stacked
+            # trajectory outputs -> O(1) memory per candidate step size
+            return V, hacc, jnp.sqrt(jnp.sum(hacc**2))
+        xs, us, ys = outs
         return FusedTraj(x=xs, u=us, y=ys, V=V, h=hacc,
                          viol=jnp.sqrt(jnp.sum(hacc**2)))
+
+    def rollout(x0, nom_x, nom_u, ctg, eps, ref_x, alreb, reb_on, use_pd):
+        return _rollout_impl(x0, nom_x, nom_u, ctg, eps, ref_x, alreb,
+                             reb_on, use_pd, with_traj=True)
+
+    def rollout_V(x0, nom_x, nom_u, ctg, eps, ref_x, alreb, reb_on, use_pd):
+        return _rollout_impl(x0, nom_x, nom_u, ctg, eps, ref_x, alreb,
+                             reb_on, use_pd, with_traj=False)
 
     # ------------------------------------------------------------- linearize
     def _lin_step(x, u, y, fh, t_dynid, t_pidx, t_dt, t_contact,
@@ -566,5 +578,6 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         )
         return ok, dV, FusedCTG(du=dus, Kfb=Ks, G=Gs)
 
-    return dict(plan=plan, rollout=rollout, linearize=make_linearize(),
-                backward=backward, specs=specs, n_phases=P, T=T)
+    return dict(plan=plan, rollout=rollout, rollout_V=rollout_V,
+                linearize=make_linearize(), backward=backward, specs=specs,
+                n_phases=P, T=T)

@@ -9,25 +9,31 @@ sites.
 
 This module keeps the numerics and the batch-synchronous masking semantics
 IDENTICAL to fused_hsddp_batched (same update equations, same thresholds,
-same reference citations — MultiPhaseDDP.cpp:154-289) but moves the outer
-control flow to the host:
+same reference citations — MultiPhaseDDP.cpp:154-289) but restructures the
+control flow so that compile time is the SUM of a handful of small
+programs AND the steady-state path needs ZERO host round-trips inside a
+solve (critical on a remote-tunneled TPU where each sync costs dispatch
+latency):
 
-  - exactly four jitted device programs, each compiled once:
-      rollout_b     (one 720-step scan, vmapped over the batch)
-      linearize_b   (chunked jacfwd, vmapped)
-      backward_b    (one reverse scan, vmapped — or the Pallas kernel)
-      ls_accept_b   (tiny line-search acceptance masking)
-  - AL / DDP / regularization-retry / line-search loops are Python loops;
-    each iteration reads ONE boolean (`any lane still active?`) from the
-    device — identical trip counts to the lax.while_loop program, since
-    that too runs every lane to the worst lane's iteration count.
-
-Cost: ~30-60 device dispatches per solve-batch plus one host sync per loop
-iteration — microseconds against multi-millisecond stage runtimes.  Gain:
-compile time is the SUM of four small programs instead of one giant one.
+  - rollout / linearize / backward are separate jitted programs;
+  - the backtracking line search (MultiPhaseDDP.cpp:130-151) is evaluated
+    BATCHED over all candidate step sizes eps in {1, alpha, alpha^2, ...}
+    in one cost-only rollout (`rollout_V`, no trajectory outputs), then a
+    single full rollout runs at each lane's first-accepted eps.  Sequential
+    trial order is preserved exactly: acceptance of each eps depends only
+    on (cost_prev, dVexp), so "first accepted in sequence" == "first
+    accepted among all", and lanes with no accepted eps keep the nominal
+    trajectory, exactly like the while_loop version;
+  - the regularization retry loop (MultiPhaseDDP.cpp:209-227) is a
+    lax.while_loop around ONLY the backward sweep (one small jit);
+  - AL / DDP iterations run at their static trip counts (max_AL_iter /
+    max_DDP_iter) with the same done/abort masking the fori_loop versions
+    apply — every dispatch is async, nothing blocks until the caller reads
+    results.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -43,7 +49,7 @@ from .fused_hsddp_batched import bwhere
 def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
                         backward: str = "xla", b_tile: int = 512,
-                        interpret: bool = False, donate: bool = True):
+                        interpret: bool = False):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
     identical to fused_hsddp_batched.build_fused_solver_batched."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
@@ -52,9 +58,23 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     P, T = eng["n_phases"], eng["T"]
     alreb0 = initial_fused_alreb(specs, dtype)
 
+    # candidate step sizes tried by the reference's backtracking loop
+    eps_list = []
+    e = 1.0
+    while e > LS_EPS_MIN:
+        eps_list.append(e)
+        e *= opt.alpha
+    eps_all = jnp.asarray(np.asarray(eps_list), dtype)
+    L = len(eps_list)
+
     # ------------------------------------------------------ jitted stages
     rollout_b = jax.jit(jax.vmap(
         eng["rollout"], in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
+    # (B, L) cost-only rollouts: inner vmap over eps, outer over the batch
+    rollout_V_be = jax.jit(jax.vmap(
+        jax.vmap(eng["rollout_V"],
+                 in_axes=(None, None, None, None, 0, None, None, None, None)),
+        in_axes=(0, 0, 0, 0, None, 0, 0, 0, None)))
     linearize_b = jax.jit(jax.vmap(
         eng["linearize"], in_axes=(0, 0, 0, 0, None)))
 
@@ -63,34 +83,50 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
 
         seg = segment_plan_of(plan)
 
-        @jax.jit
         def backward_b(lin_b, reg_b):
             ok, dV, ctg = backward_batched_pallas(
                 seg, lin_b, reg_b, b_tile=b_tile, interpret=interpret)
             return ok, dV.astype(dtype), jax.tree.map(
                 lambda a: a.astype(dtype), ctg)
     else:
-        backward_b = jax.jit(jax.vmap(eng["backward"], in_axes=(0, 0)))
+        backward_b = jax.vmap(eng["backward"], in_axes=(0, 0))
 
     @jax.jit
-    def ls_accept_b(tr, trajs, eps, accepted, cost_prev_b, dVexp_b):
-        ok = tr.V <= cost_prev_b + opt.gamma * eps * (1.0 - eps / 2.0) * dVexp_b
-        adopt = (~accepted) & ok
-        trajs = bwhere(adopt, tr, trajs)
-        accepted = accepted | ok
-        eps = jnp.where(accepted, eps, eps * opt.alpha)
-        return trajs, eps, accepted
+    def backward_retry_jit(lin_b, ctg_prev, reg0_b):
+        """Regularization retry (MultiPhaseDDP.cpp:209-227) as ONE compiled
+        while_loop around the backward sweep."""
+        B = reg0_b.shape[0]
+
+        def cond(c):
+            reg, success, aborted, _, _ = c
+            return jnp.any((~success) & (~aborted))
+
+        def body(c):
+            reg, success, aborted, ctgs, dVexp = c
+            ok, dV, new_ctg = backward_b(lin_b, reg)
+            active = (~success) & (~aborted)
+            adopt = active & ok
+            new_reg = jnp.maximum(reg * opt.update_regularization, REG_MIN)
+            reg_out = jnp.where(active & (~ok), new_reg, reg)
+            aborted_new = aborted | (active & (~ok) & (new_reg > REG_MAX))
+            ctg_out = bwhere(adopt, new_ctg, ctgs)
+            dV_out = jnp.where(adopt, dV, dVexp)
+            return (reg_out, success | adopt, aborted_new, ctg_out, dV_out)
+
+        init = (reg0_b, jnp.zeros((B,), bool), jnp.zeros((B,), bool),
+                ctg_prev, jnp.zeros((B,), dtype))
+        reg, success, aborted, ctg, dVexp = jax.lax.while_loop(
+            cond, body, init)
+        return reg, aborted, ctg, dVexp
 
     @jax.jit
-    def reg_adopt_b(ok, dV, new_ctg, reg, success, aborted, ctgs, dVexp):
-        active = (~success) & (~aborted)
-        adopt = active & ok
-        new_reg = jnp.maximum(reg * opt.update_regularization, REG_MIN)
-        reg_out = jnp.where(active & (~ok), new_reg, reg)
-        aborted_new = aborted | (active & (~ok) & (new_reg > REG_MAX))
-        ctg_out = bwhere(adopt, new_ctg, ctgs)
-        dV_out = jnp.where(adopt, dV, dVexp)
-        return reg_out, success | adopt, aborted_new, ctg_out, dV_out
+    def ls_select(V_bl, cost_prev_b, dVexp_b):
+        """First-accepted candidate index per lane + acceptance mask."""
+        dec = (opt.gamma * eps_all * (1.0 - eps_all / 2.0))[None, :]
+        ok = V_bl <= cost_prev_b[:, None] + dec * dVexp_b[:, None]
+        accepted = jnp.any(ok, axis=1)
+        first = jnp.argmax(ok, axis=1)
+        return eps_all[first], accepted
 
     @jax.jit
     def update_al_reb_b(alreb: FusedALReB, h_b, viol_b, reb_on_b, aborted):
@@ -110,35 +146,20 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     def zeros_b(B, *shape):
         return jnp.zeros((B,) + shape, dtype)
 
-    # --------------------------------------------------- host-driven loops
-    def backward_with_retry(lin_b, ctg_prev, reg0_b):
-        B = reg0_b.shape[0]
-        reg, success, aborted = (reg0_b, jnp.zeros((B,), bool),
-                                 jnp.zeros((B,), bool))
-        ctg, dVexp = ctg_prev, zeros_b(B)
-        while bool(jnp.any((~success) & (~aborted))):
-            ok, dV, new_ctg = backward_b(lin_b, reg)
-            reg, success, aborted, ctg, dVexp = reg_adopt_b(
-                ok, dV, new_ctg, reg, success, aborted, ctg, dVexp)
-        return reg, aborted, ctg, dVexp
-
+    # --------------------------------------------------- solve orchestration
     def line_search(x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
                     cost_prev_b, dVexp_b):
-        B = x0_b.shape[0]
-        eps = jnp.ones((B,), dtype)
-        accepted = jnp.zeros((B,), bool)
-        trajs = nominal
         zf = jnp.zeros((), dtype)
-        while bool(jnp.any((~accepted) & (eps > LS_EPS_MIN))):
-            tr = rollout_b(x0_b, nominal.x, nominal.u, ctg, eps, ref_x,
-                           alreb_b, reb_on_b, zf)
-            trajs, eps, accepted = ls_accept_b(tr, trajs, eps, accepted,
-                                               cost_prev_b, dVexp_b)
-        return trajs
+        V_bl, _, _ = rollout_V_be(x0_b, nominal.x, nominal.u, ctg, eps_all,
+                                  ref_x, alreb_b, reb_on_b, zf)
+        eps_sel, accepted = ls_select(V_bl, cost_prev_b, dVexp_b)
+        tr = rollout_b(x0_b, nominal.x, nominal.u, ctg, eps_sel, ref_x,
+                       alreb_b, reb_on_b, zf)
+        return bwhere(accepted, tr, nominal)
 
     def _ddp_iteration(x0_b, ref_x, st: FusedSolveResult, reb_on_b):
         cost_prev = st.cost
-        reg, aborted, ctg, dVexp = backward_with_retry(st.lin, st.ctg, st.reg)
+        reg, aborted, ctg, dVexp = backward_retry_jit(st.lin, st.ctg, st.reg)
         reg = reg / 20.0
         reg = jnp.where(reg < 1e-6, 0.0, reg)
         tr = line_search(x0_b, st.nominal, ctg, ref_x, st.alreb, reb_on_b,
@@ -165,8 +186,6 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
 
         done = jnp.zeros((B,), bool)
         for _ in range(opt.max_DDP_iter):
-            if not bool(jnp.any((~done) & (~st.aborted))):
-                break
             new_st, conv = _ddp_iteration(x0_b, ref_x, st, reb_on_b)
             active = (~done) & (~st.aborted)
             st = bwhere(active, new_st, st)
@@ -204,8 +223,6 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
 
         done = jnp.zeros((B,), bool)
         for i in range(opt.max_AL_iter):
-            if not bool(jnp.any((~done) & (~carry.aborted))):
-                break
             new_carry = _al_iteration(x0_b, ref_x, carry, i + 1)
             carry = bwhere(done | carry.aborted, carry, new_carry)
             done = done | (carry.viol < opt.AL_thresh)

@@ -37,6 +37,31 @@ def _pd_control(x, mode: int):
     return LA.mv(J[:, 3:7].T, F) * _STANCE_GAIN[mode]
 
 
+def pd_control_masked(x, cf, ch, stance_gain):
+    """Mode-unified bounding PD law: contact gates (cf, ch) pick the
+    stance leg-spring term, `stance_gain` carries the per-mode gain
+    (3.0 back-stance / 2.2 front-stance, _STANCE_GAIN), zero gates give
+    the flight joint-PD bit-for-bit (the masked terms multiply by exact
+    0.0/1.0).  Used by the fused engine's warm-start rollout so all WB
+    modes share one compiled graph."""
+    q, qd = x[:7], x[7:]
+    kp = _KP.astype(x.dtype)
+    kd = _KD.astype(x.dtype)
+    u_flight = kp * (_QJOINT_NOM.astype(x.dtype) - q[3:7]) - kd * qd[3:7]
+
+    def leg_term(foot_fn, leg):
+        J = jax.jacfwd(foot_fn)(q)
+        ext = K.leg_extension(q, leg)
+        norm = jnp.linalg.norm(ext)
+        F = -ext / norm * _KSPRING * (norm - _LEGEXT_NOM)
+        return LA.mv(J[:, 3:7].T, F)
+
+    u_stance = (cf * leg_term(K.front_foot_position, 0)
+                + ch * leg_term(K.hind_foot_position, 1))
+    st = cf + ch
+    return (1.0 - st) * u_flight + stance_gain * u_stance
+
+
 def rollout_pd_phase(x0, mode: int, n_steps: int, dt: float):
     """Simulate the PD controller for one phase; (xs (N,14), us (N,4)).
 

@@ -133,3 +133,58 @@ def test_vmap_of_one_equals_unbatched(probes):
     b = jax.vmap(lambda xx, uu: Q.wb_xdot(xx, uu, 1)[0])(x[None], u[None])[0]
     # batching may reassociate reductions; demand agreement at round-off level
     assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-10
+
+
+def test_masked_dynamics_bitwise_equals_mode_branches():
+    """The mode-unified masked-KKT dynamics (wb_xdot_masked) must equal the
+    per-mode stance/flight dynamics BITWISE: the inactive contact rows
+    reduce the 4x4 KKT solve to the same arithmetic as the per-foot 2x2
+    solve (see _masked_kkt docstring)."""
+    import jax
+    import jax.numpy as jnp
+    from mhpc_minimal_env_tpu.models import quadruped as Q
+
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.normal(size=(20, 14)) * 0.6)
+    us = jnp.asarray(rng.normal(size=(20, 4)) * 5.0)
+    for mode in (1, 2, 3, 4):
+        cf, ch = Q.WB_CONTACT[mode]
+        ref = jax.jit(jax.vmap(lambda x, u: Q.wb_xdot(x, u, mode)))(xs, us)
+        msk = jax.jit(jax.vmap(
+            lambda x, u: Q.wb_xdot_masked(
+                x, u, jnp.asarray(cf, x.dtype), jnp.asarray(ch, x.dtype))
+        ))(xs, us)
+        # eager evaluation is bit-identical (inactive-gate arithmetic is
+        # exact); under jit XLA may reassociate/fuse the two graphs
+        # differently, so allow ~1-ulp relative drift.
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(msk[0]),
+                                   rtol=1e-13, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(ref[1]) + 0.0,
+                                   np.asarray(msk[1]) + 0.0,
+                                   rtol=1e-13, atol=1e-11)
+
+
+def test_masked_impact_bitwise_equals_resetmap():
+    import jax
+    import jax.numpy as jnp
+    from mhpc_minimal_env_tpu.models import quadruped as Q
+
+    rng = np.random.default_rng(8)
+    xs = jnp.asarray(rng.normal(size=(20, 14)) * 0.6)
+    for mode, (cf, ch) in ((2, (1.0, 0.0)), (4, (0.0, 1.0)),
+                           (None, (0.0, 0.0))):
+        msk = jax.jit(jax.vmap(
+            lambda x: Q.impact_map_masked(
+                x, jnp.asarray(cf, x.dtype), jnp.asarray(ch, x.dtype))
+        ))(xs)
+        if mode is None:  # zero gates: exact identity
+            assert np.array_equal(np.asarray(xs), np.asarray(msk[0]))
+            assert np.all(np.asarray(msk[1]) + 0.0 == 0.0)
+        else:
+            ref = jax.jit(jax.vmap(lambda x: Q.resetmap(x, mode)))(xs)
+            np.testing.assert_allclose(np.asarray(ref[0]),
+                                       np.asarray(msk[0]),
+                                       rtol=1e-13, atol=1e-11)
+            np.testing.assert_allclose(np.asarray(ref[1]) + 0.0,
+                                       np.asarray(msk[1]) + 0.0,
+                                       rtol=1e-13, atol=1e-11)
