@@ -78,8 +78,11 @@ def worker():
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(HERE, ".jax_cache"))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    # TPU executables are platform-specific; keep them in a dedicated dir so
+    # the TPU-warm cache can be committed without dragging CPU blobs along.
+    cache = ".jax_cache" if on_cpu else ".jax_cache_tpu"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -91,8 +94,15 @@ def worker():
 
     B = int(os.environ.get("MHPC_BENCH_BATCH", "256"))
     reps = int(os.environ.get("MHPC_BENCH_REPS", "3"))
-    dtype = (jnp.float32 if os.environ.get("MHPC_BENCH_DTYPE") == "f32"
-             else jnp.float64)
+    # default dtype: f64 is the golden-fidelity path and is what CPU runs;
+    # on TPU f64 is software-emulated (5x compile, 3x runtime — measured
+    # round 2) so the throughput bench defaults to f32 there and reports
+    # lane-0 solution-quality figures vs the reference run instead.
+    dt_env = os.environ.get("MHPC_BENCH_DTYPE")
+    if dt_env is None:
+        dtype = jnp.float64 if on_cpu else jnp.float32
+    else:
+        dtype = jnp.float32 if dt_env == "f32" else jnp.float64
     engine = os.environ.get("MHPC_BENCH_ENGINE", "staged")
     lin_chunk = int(os.environ.get("MHPC_LIN_CHUNK", "48"))
     b_tile = int(os.environ.get("MHPC_BTILE", "512"))
@@ -129,14 +139,27 @@ def worker():
     print(f"[bench] first batch (incl compile): {time.time()-t0:.1f}s B={B}",
           file=sys.stderr, flush=True)
 
-    # fidelity: lane-0 control sequence vs the reference binary's golden run
-    dev = None
+    # fidelity: lane 0 is the exact reference problem.  In f64 the control
+    # sequence matches the golden run to <=1e-3 (the golden test's SLO);
+    # in f32 discrete line-search accept decisions can flip, so the control
+    # trace diverges while the SOLUTION stays equally good — report both
+    # the raw deviation and the solution-quality figures (terminal
+    # constraint violation vs the reference's logged 2.365e-2, cost).
+    quality = {}
     try:
         g = np.load(os.path.join(HERE, "tests", "golden",
                                  "reference_run.npz"))
         ctrl = np.asarray(res.nominal.u[0]).reshape(-1, 4)
-        dev = float(np.nanmax(np.abs(ctrl - g["control"])))
-        print(f"[bench] lane-0 control deviation vs reference: {dev:.2e}",
+        quality["control_dev_vs_reference"] = float(
+            np.nanmax(np.abs(ctrl - g["control"])))
+        quality["lane0_terminal_viol"] = float(np.asarray(res.viol[0]))
+        quality["reference_terminal_viol"] = 2.365136e-2
+        quality["lane0_cost"] = float(np.asarray(res.cost[0]))
+        quality["aborted_lanes"] = int(np.asarray(res.aborted).sum())
+        print(f"[bench] lane-0 vs reference: ctrl_dev="
+              f"{quality['control_dev_vs_reference']:.2e} "
+              f"viol={quality['lane0_terminal_viol']:.4e} "
+              f"(ref 2.3651e-2) aborted={quality['aborted_lanes']}/{B}",
               file=sys.stderr, flush=True)
     except Exception as e:  # fidelity check must not kill the bench
         print(f"[bench] fidelity check skipped: {e}", file=sys.stderr)
@@ -161,8 +184,7 @@ def worker():
         "engine": engine,
         "dtype": dtype.__name__,
     }
-    if dev is not None:
-        out["control_dev_vs_reference"] = dev
+    out.update(quality)
     print(json.dumps(out), flush=True)
 
 

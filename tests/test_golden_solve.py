@@ -39,6 +39,24 @@ def test_state_control_gradient_match(solved):
     assert np.nanmax(np.abs(grad - g["gradient"])) < 1e-2   # |G| ~ 1e3
 
 
+def test_cost_dump_matches_golden(solved):
+    """cost.txt rows (running-cost gradient lx for k<N-1, terminal Phix at
+    the phase end — MHPCLocomotion.cpp:293-380 dump layout) vs the golden
+    reference dump.  Golden carries ~6 sig figs; max|cost| ~ 2e2 puts the
+    quantization floor near 1e-4."""
+    loco, res = solved
+    g = np.load(GOLDEN)
+    lx = np.asarray(res.lin.lx)
+    phix = np.asarray(res.lin.phix)
+    rows = []
+    for a, b, _ in loco.phase_slices():
+        rows.append(np.concatenate([lx[a : b - 1], phix[b - 1 : b]], axis=0))
+    cost_rows = np.concatenate(rows, axis=0)
+    # FB rows are 6-wide in the golden dump (NaN-padded) -> nanmax ignores
+    assert cost_rows.shape == g["cost"].shape
+    assert np.nanmax(np.abs(cost_rows - g["cost"])) < 2e-3
+
+
 def test_control_rows_at_phase_ends_are_zero(solved):
     loco, res = solved
     # the reference never writes u at the terminal gridpoint of a phase
