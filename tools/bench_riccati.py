@@ -27,15 +27,24 @@ from mhpc_minimal_env_tpu.solver.fused import (  # noqa: E402
 from mhpc_minimal_env_tpu.types import HSDDPOptions, PhaseSpec  # noqa: E402
 
 
-def synth_lin(B, T, rng, dtype):
+def synth_lin(B, T, dtype):
+    """Synthesize well-conditioned linearization data ON DEVICE.
+
+    (Host-side numpy synthesis + transfer is ~6 GB over the axon tunnel at
+    B=512 — it timed out the whole benchmark in round 2.  jax.random on the
+    chip makes setup <1 s.)"""
+    import jax.random as jr
+
+    keys = iter(jr.split(jr.key(0), 16))
+
     def r(*shape, scale=1.0):
-        return jnp.asarray(rng.normal(size=shape) * scale, dtype)
+        return scale * jr.normal(next(keys), shape, dtype)
 
     eye = jnp.eye(14, dtype=dtype)
 
     def psd(*shape):
-        M = rng.normal(size=shape) * 0.1
-        return jnp.asarray(M @ np.swapaxes(M, -1, -2), dtype)
+        M = r(*shape, scale=0.1)
+        return M @ jnp.swapaxes(M, -1, -2)
 
     return FusedLin(
         A=eye + r(B, T, 14, 14, scale=0.003),
