@@ -55,36 +55,57 @@ def _perturbed_x0(B: int, scale: float = 0.01, seed: int = 0,
 
 
 # --------------------------------------------------------------------------
-# 1. mhpc_ctrl default
+# shared runner: staged-engine solve of one problem at batch B
 # --------------------------------------------------------------------------
 
-def run_mhpc_ctrl_default(dtype=None, reps: int = 5) -> Dict:
-    """One solve of the reference's default problem; reports wall ms per
-    solve and max |u - u_ref| vs the recorded golden control sequence."""
-    import jax
+def _run_staged(problem, dtype, B: int = 1, reps: int = 3,
+                golden_lane0: bool = True):
+    """Solve ``problem`` for B perturbed initial states on the staged
+    engine (the production path); returns (result, best wall seconds)."""
     import jax.numpy as jnp
-    from .runtime.locomotion import MHPCLocomotion
+    from .solver.staged import build_staged_solver
 
-    dtype = dtype or jnp.float64
-    loco = MHPCLocomotion(dtype=dtype)
-    res = loco.solve()
+    solve, _ = build_staged_solver(
+        list(problem.specs), problem.opt, problem.vel_cmd,
+        problem.ground_height, problem.height_cmd, dtype)
+    x0 = jnp.asarray(_perturbed_x0(B, golden_lane0=golden_lane0), dtype)
+    res = solve(x0)
     res.cost.block_until_ready()
     times = []
     for _ in range(reps):
         t0 = time.time()
-        res = loco.solve()
+        res = solve(x0)
         res.cost.block_until_ready()
         times.append(time.time() - t0)
+    return res, min(times)
+
+
+# --------------------------------------------------------------------------
+# 1. mhpc_ctrl default
+# --------------------------------------------------------------------------
+
+def run_mhpc_ctrl_default(dtype=None, reps: int = 5, B: int = 1) -> Dict:
+    """Solve of the reference's default problem (lane 0 = the exact golden
+    problem); reports wall ms per solve-batch and max |u - u_ref| vs the
+    recorded golden control sequence (test_main.cpp:12-34 workload)."""
+    import jax.numpy as jnp
+    from .runtime.locomotion import default_problem
+
+    dtype = dtype or jnp.float64
+    res, best = _run_staged(default_problem(), dtype, B=B, reps=reps)
     out = {
         "config": "mhpc_ctrl_default",
-        "value": round(min(times) * 1e3, 3),
+        "value": round(best * 1e3 / B, 3),
         "unit": "ms/solve",
-        "cost": float(res.cost),
-        "viol": float(res.viol),
+        "batch": B,
+        "engine": "staged",
+        "cost": float(res.cost[0]),
+        "viol": float(res.viol[0]),
     }
     try:
         g = np.load(_golden_path())
-        dev = float(np.nanmax(np.abs(np.asarray(res.nominal.u) - g["control"])))
+        dev = float(np.nanmax(np.abs(
+            np.asarray(res.nominal.u[0]) - g["control"])))
         out["control_dev_vs_reference"] = dev
     except Exception:
         pass
@@ -127,27 +148,22 @@ def wb_only_extended_problem(n_cycles: int = 2, dt: float | None = None,
                        ground_height=-0.404, height_cmd=0.0)
 
 
-def run_wb_only_extended(dtype=None, reps: int = 3) -> Dict:
+def run_wb_only_extended(dtype=None, reps: int = 3, B: int = 1) -> Dict:
     import jax.numpy as jnp
-    from .runtime.locomotion import MHPCLocomotion
 
     dtype = dtype or jnp.float64
-    loco = MHPCLocomotion(wb_only_extended_problem(), dtype=dtype)
-    res = loco.solve()
-    res.cost.block_until_ready()
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        res = loco.solve()
-        res.cost.block_until_ready()
-        times.append(time.time() - t0)
+    problem = wb_only_extended_problem()
+    res, best = _run_staged(problem, dtype, B=B, reps=reps)
     return {
         "config": "wb_only_extended",
-        "value": round(min(times) * 1e3, 3),
+        "value": round(best * 1e3 / B, 3),
         "unit": "ms/solve",
-        "gridpoints": sum(s.n_steps for s in loco.problem.specs),
-        "cost": float(res.cost),
-        "viol": float(res.viol),
+        "batch": B,
+        "engine": "staged",
+        "gridpoints": sum(s.n_steps for s in problem.specs),
+        "cost": float(res.cost[0]),
+        "viol": float(res.viol[0]),
+        "aborted": int(np.asarray(res.aborted).sum()),
     }
 
 
@@ -163,27 +179,21 @@ def multi_phase_bounding_problem(n_wb: int = 4, n_fb: int = 2,
                            opt=opt or HSDDPOptions())
 
 
-def run_multi_phase_bounding(dtype=None, reps: int = 3) -> Dict:
+def run_multi_phase_bounding(dtype=None, reps: int = 3, B: int = 1) -> Dict:
     import jax.numpy as jnp
-    from .runtime.locomotion import MHPCLocomotion
 
     dtype = dtype or jnp.float64
-    loco = MHPCLocomotion(multi_phase_bounding_problem(), dtype=dtype)
-    res = loco.solve()
-    res.cost.block_until_ready()
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        res = loco.solve()
-        res.cost.block_until_ready()
-        times.append(time.time() - t0)
+    problem = multi_phase_bounding_problem()
+    res, best = _run_staged(problem, dtype, B=B, reps=reps)
     return {
         "config": "multi_phase_bounding",
-        "value": round(min(times) * 1e3, 3),
+        "value": round(best * 1e3 / B, 3),
         "unit": "ms/solve",
-        "phases": len(loco.problem.specs),
-        "cost": float(res.cost),
-        "viol": float(res.viol),
+        "batch": B,
+        "engine": "staged",
+        "phases": len(problem.specs),
+        "cost": float(res.cost[0]),
+        "viol": float(res.viol[0]),
     }
 
 
@@ -225,29 +235,52 @@ def run_batched_mpc(B: int = 1024, n_cycles: int = 4, dtype=None,
 def run_pod_sweep(n_scenarios: int = 8192, dtype=None,
                   n_devices: int | None = None,
                   opt: HSDDPOptions | None = None) -> Dict:
+    """Scenario sweep sharded over the device mesh, staged engine: the
+    jitted stage programs SPMD-partition along the sharded batch axis, and
+    fleet metrics psum over the mesh (shard_map on the RESULT arrays —
+    the staged orchestration itself stays on the host)."""
     import jax
     import jax.numpy as jnp
-    from .parallel.mesh import make_mesh, shard_batch, sharded_metrics, sharded_solve
-    from .runtime.locomotion import MHPCLocomotion
+    from jax.sharding import PartitionSpec as P
+    from .parallel.mesh import make_mesh, shard_batch
+    from .runtime.locomotion import default_problem
+    from .solver.staged import build_staged_solver
 
     dtype = dtype or jnp.float64
-    loco = MHPCLocomotion(dtype=dtype)
+    problem = default_problem(opt=opt or HSDDPOptions())
+    solve, _ = build_staged_solver(
+        list(problem.specs), problem.opt, problem.vel_cmd,
+        problem.ground_height, problem.height_cmd, dtype)
     mesh = make_mesh(n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
     B = (n_scenarios // n_dev) * n_dev
     x0 = shard_batch(jnp.asarray(_perturbed_x0(B), dtype=dtype), mesh)
-    run = sharded_solve(loco, mesh)
-    res = run(x0)  # compile + run
+    res = solve(x0)  # compile + run
     res.cost.block_until_ready()
     t0 = time.time()
-    res = run(x0)
+    res = solve(x0)
     res.cost.block_until_ready()
     dtime = time.time() - t0
-    metrics = sharded_metrics(loco, mesh)(x0)
+
+    def metrics_fn(cost, viol, aborted):
+        n = jax.lax.psum(jnp.asarray(cost.shape[0], cost.dtype), "batch")
+        return dict(
+            mean_cost=jax.lax.psum(jnp.sum(cost), "batch") / n,
+            worst_violation=jax.lax.pmax(jnp.max(viol), "batch"),
+            aborted=jax.lax.psum(jnp.sum(aborted.astype(jnp.int32)),
+                                 "batch"),
+        )
+
+    metrics = jax.jit(jax.shard_map(
+        metrics_fn, mesh=mesh,
+        in_specs=(P("batch"), P("batch"), P("batch")), out_specs=P(),
+        check_vma=False,
+    ))(res.cost, res.viol, res.aborted)
     return {
         "config": "pod_sweep",
         "value": round(B / dtime, 2),
         "unit": "solves/s",
+        "engine": "staged",
         "scenarios": B,
         "devices": n_dev,
         "fleet_metrics": {k: float(v) for k, v in metrics.items()},

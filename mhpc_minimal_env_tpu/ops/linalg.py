@@ -213,3 +213,111 @@ def is_pd_chol(A, shift=0.0):
     n = A.shape[-1]
     L = cholesky_unrolled(A - shift * jnp.eye(n, dtype=A.dtype))
     return jnp.all(jnp.isfinite(L), axis=(-1, -2))
+
+
+# --------------------------------------------------------------------------
+# channel-last small linear algebra: shapes (rows, cols, B) with the BATCH
+# on the minor axis.
+#
+# Why: XLA-TPU tiles the two minor dims to (8, 128) sublanes x lanes.  With
+# batch-major (B, 14, 14) arrays the 14x14 face pads to 16x128 — a measured
+# 10-32x memory expansion (and the same factor in wasted bandwidth) that
+# OOMs the B=1024 backward sweep and dominates its runtime.  Putting B on
+# the lane axis makes every (r, c, B) array tile exactly ((r*c) sublanes x
+# B lanes), ~1.1x padding.  The multiply pairings and reduction axes below
+# mirror the batch-major f64 paths above so CPU f64 results stay
+# bit-comparable.
+# --------------------------------------------------------------------------
+
+def mm_cl(X, Y):
+    """X @ Y: (i, k, B) x (k, j, B) -> (i, j, B)."""
+    return (X[:, :, None, :] * Y[None, :, :, :]).sum(1)
+
+
+def mtm_cl(X, Y):
+    """X^T @ Y: (k, i, B) x (k, j, B) -> (i, j, B)."""
+    return (X[:, :, None, :] * Y[:, None, :, :]).sum(0)
+
+
+def mv_cl(X, v):
+    """X @ v: (i, k, B) x (k, B) -> (i, B)."""
+    return (X * v[None, :, :]).sum(1)
+
+
+def mtv_cl(X, v):
+    """X^T @ v: (k, i, B) x (k, B) -> (i, B)."""
+    return (X * v[:, None, :]).sum(0)
+
+
+def vdot_cl(u, v):
+    """u . v along the leading axis: (k, B) x (k, B) -> (B,)."""
+    return (u * v).sum(0)
+
+
+def sym_cl(M):
+    """(M + M^T)/2 on (n, n, B)."""
+    return 0.5 * (M + jnp.swapaxes(M, 0, 1))
+
+
+def inv4_cl(a):
+    """4x4 inverse by cofactor expansion on (4, 4, B) (same minor structure
+    as `inv4` / Eigen's fixed-size inverse, MHPC_CompoundTypes.h:133)."""
+    s0 = a[0, 0] * a[1, 1] - a[1, 0] * a[0, 1]
+    s1 = a[0, 0] * a[1, 2] - a[1, 0] * a[0, 2]
+    s2 = a[0, 0] * a[1, 3] - a[1, 0] * a[0, 3]
+    s3 = a[0, 1] * a[1, 2] - a[1, 1] * a[0, 2]
+    s4 = a[0, 1] * a[1, 3] - a[1, 1] * a[0, 3]
+    s5 = a[0, 2] * a[1, 3] - a[1, 2] * a[0, 3]
+    c5 = a[2, 2] * a[3, 3] - a[3, 2] * a[2, 3]
+    c4 = a[2, 1] * a[3, 3] - a[3, 1] * a[2, 3]
+    c3 = a[2, 1] * a[3, 2] - a[3, 1] * a[2, 2]
+    c2 = a[2, 0] * a[3, 3] - a[3, 0] * a[2, 3]
+    c1 = a[2, 0] * a[3, 2] - a[3, 0] * a[2, 2]
+    c0 = a[2, 0] * a[3, 1] - a[3, 0] * a[2, 1]
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    invdet = 1.0 / det
+    b00 = a[1, 1] * c5 - a[1, 2] * c4 + a[1, 3] * c3
+    b01 = -a[0, 1] * c5 + a[0, 2] * c4 - a[0, 3] * c3
+    b02 = a[3, 1] * s5 - a[3, 2] * s4 + a[3, 3] * s3
+    b03 = -a[2, 1] * s5 + a[2, 2] * s4 - a[2, 3] * s3
+    b10 = -a[1, 0] * c5 + a[1, 2] * c2 - a[1, 3] * c1
+    b11 = a[0, 0] * c5 - a[0, 2] * c2 + a[0, 3] * c1
+    b12 = -a[3, 0] * s5 + a[3, 2] * s2 - a[3, 3] * s1
+    b13 = a[2, 0] * s5 - a[2, 2] * s2 + a[2, 3] * s1
+    b20 = a[1, 0] * c4 - a[1, 1] * c2 + a[1, 3] * c0
+    b21 = -a[0, 0] * c4 + a[0, 1] * c2 - a[0, 3] * c0
+    b22 = a[3, 0] * s4 - a[3, 1] * s2 + a[3, 3] * s0
+    b23 = -a[2, 0] * s4 + a[2, 1] * s2 - a[2, 3] * s0
+    b30 = -a[1, 0] * c3 + a[1, 1] * c1 - a[1, 2] * c0
+    b31 = a[0, 0] * c3 - a[0, 1] * c1 + a[0, 2] * c0
+    b32 = -a[3, 0] * s3 + a[3, 1] * s1 - a[3, 2] * s0
+    b33 = a[2, 0] * s3 - a[2, 1] * s1 + a[2, 2] * s0
+    rows = [
+        jnp.stack([b00, b01, b02, b03], axis=0),
+        jnp.stack([b10, b11, b12, b13], axis=0),
+        jnp.stack([b20, b21, b22, b23], axis=0),
+        jnp.stack([b30, b31, b32, b33], axis=0),
+    ]
+    return jnp.stack(rows, axis=0) * invdet[None, None, :]
+
+
+def is_pd_chol_cl(A, shift=0.0):
+    """PSD gate on (n, n, B): Cholesky of (A - shift I) all-finite, same
+    unrolled column algorithm (and NaN semantics) as `is_pd_chol`."""
+    n = A.shape[0]
+    eye = jnp.eye(n, dtype=A.dtype)[:, :, None]
+    M = A - shift * eye
+    cols = []  # each (n, B)
+    finite = None
+    for j in range(n):
+        v = M[:, j, :]
+        for k in range(j):
+            v = v - cols[k] * cols[k][j : j + 1, :]
+        d = jnp.sqrt(v[j, :])
+        col = v / d[None, :]
+        mask = (jnp.arange(n) >= j)[:, None]
+        col = jnp.where(mask, col, jnp.zeros_like(col))
+        cols.append(col)
+        ok_j = jnp.all(jnp.isfinite(col), axis=0)
+        finite = ok_j if finite is None else (finite & ok_j)
+    return finite

@@ -1,14 +1,23 @@
-"""Receding-horizon MPC driver (fused engine).
+"""Receding-horizon MPC driver on the staged batched engine.
 
 The reference *declares* the receding-horizon loop but never implements it:
 `MHPCLocomotion::run()` is declared (MHPCLocomotion.h:25) and undefined, and
 `update_problem` (MHPCLocomotion.cpp:107-158) — the phase-ring rotation — is
 written but never called.  This module implements that loop for real, the
-TPU way: one compiled cycle per gait mode, vmappable over scenario batches.
+TPU way.
+
+Architecture (round 3): the solver is the STAGED engine (solver/staged.py)
+whose jitted stage graphs take the problem `plan` as an argument.  The four
+gait-mode problems (cmode rotations of the bounding cycle,
+Gait::get_next_mode) share identical array shapes, so ONE set of compiled
+stages serves every cycle — compile cost is paid once, not once per mode
+(the round-2 monolithic-vmap driver compiled 4 full solver graphs and could
+not reach B=1024 inside the bench budget).
 
 Cycle semantics (mirroring update_problem's data rotation):
   1. solve the multi-phase problem at the current mode (warm-started from
-     the previous cycle's rotated solution)
+     the previous cycle's rotated solution; bounding-PD heuristic on the
+     first cycle)
   2. execute phase 0: roll the plant through the phase-0 horizon applying
      u = u_nom + K (x - x_nom)   (the ms_exec/CTG_exec execution buffers,
      MHPCLocomotion.cpp:178-194)
@@ -29,9 +38,10 @@ import jax.numpy as jnp
 from ..models import gait as G
 from ..ops import linalg as LA
 from ..models import quadruped as Q
-from ..solver.fused_hsddp import build_fused_solver
+from ..solver.fused import build_plan, initial_fused_alreb
+from ..solver.staged import build_staged_solver
 from ..types import HSDDPOptions
-from .locomotion import MHPCProblem, default_problem, warmstart_nominal
+from .locomotion import default_problem
 
 
 class MPCCycleResult(NamedTuple):
@@ -68,110 +78,102 @@ def _rotation_permutation(specs_now, specs_next, n_wb):
 
 
 class RecedingHorizonMPC:
-    """MPC driver over the bounding gait; one jitted cycle per cmode."""
+    """MPC driver over the bounding gait, staged engine, batched scenarios.
+
+    One compiled stage set serves all four gait modes (plans of identical
+    shapes ride through the jitted stages as arguments); per-mode state is
+    data: plan, AL/ReB init, rotation permutation, phase-0 execution step.
+    """
 
     def __init__(self, n_wbphase=4, n_fbphase=4, dtype=jnp.float64,
                  opt: HSDDPOptions = HSDDPOptions(), feedback: bool = True,
-                 dt=None, duration_scale: float = 1.0):
+                 dt=None, duration_scale: float = 1.0, acc_dtype=None,
+                 lin_chunk: int = 48):
         self.dtype = dtype
         self.n_wb = n_wbphase
-        self._cycles = {}
-        self._cycle_fns = {}
-        self._bcycles = {}
+        self.feedback = feedback
         self.problems = {}
-        solvers = {}
         dt_kw = {} if dt is None else dict(dt_wb=dt, dt_fb=dt)
         for cmode in (1, 2, 3, 4):
-            problem = default_problem(
+            self.problems[cmode] = default_problem(
                 n_wbphase=n_wbphase, n_fbphase=n_fbphase, cmode=cmode,
                 opt=opt, duration_scale=duration_scale, **dt_kw
             )
-            self.problems[cmode] = problem
-            solvers[cmode], _ = build_fused_solver(
-                list(problem.specs), problem.opt, problem.vel_cmd,
-                problem.ground_height, problem.height_cmd, dtype,
-            )
-        for cmode in (1, 2, 3, 4):
-            problem = self.problems[cmode]
-            spec0 = problem.specs[0]
-            nmode = G.next_mode(cmode)
-            perm = jnp.asarray(_rotation_permutation(
-                problem.specs, self.problems[nmode].specs, n_wbphase
-            ))
-            n0 = spec0.n_steps
 
-            def cycle(x0, warm_x, warm_u, _solve=solvers[cmode],
-                      _spec0=spec0, _perm=perm, _n0=n0):
-                res = _solve(x0, warm_x, warm_u)
-                nom_x = res.nominal.x[:_n0]
-                nom_u = res.nominal.u[:_n0]
-                Kfb = res.ctg.Kfb[:_n0]
-
-                def step(x, inp):
-                    nx, nu, Kk = inp
-                    u = nu + (LA.mv(Kk, x - nx) if feedback else 0.0)
-                    x_next, _ = Q.wb_step(x, u, _spec0.mode, _spec0.dt)
-                    return x_next, (x, u)
-
-                xe, (xs, us) = jax.lax.scan(
-                    step, x0, (nom_x[:-1], nom_u[:-1], Kfb[:-1])
-                )
-                x_next = Q.resetmap(xe, _spec0.mode)[0]
-                return MPCCycleResult(
-                    x_next=x_next, x_exec=xs, u_exec=us,
-                    cost=res.cost, viol=res.viol,
-                    warm_x=res.nominal.x[_perm],
-                    warm_u=res.nominal.u[_perm],
-                )
-
-            self._cycle_fns[cmode] = cycle
-            self._cycles[cmode] = jax.jit(cycle)
-
-    def _initial_warm(self, cmode: int, x0):
-        """Bounding-PD warm start flattened to the fused layout (traceable,
-        so it vmaps over scenario batches)."""
-        nominal = warmstart_nominal(self.problems[cmode], x0, self.dtype)
-        pad = lambda a: (
-            a if a.shape[1] == 14
-            else jnp.concatenate(
-                [a, jnp.zeros((a.shape[0], 14 - a.shape[1]), self.dtype)], 1)
+        p1 = self.problems[1]
+        self._solve, self._eng = build_staged_solver(
+            list(p1.specs), p1.opt, p1.vel_cmd, p1.ground_height,
+            p1.height_cmd, dtype, lin_chunk=lin_chunk, acc_dtype=acc_dtype,
         )
-        warm_x = jnp.concatenate([pad(t.x) for t in nominal])
-        warm_u = jnp.concatenate([t.u for t in nominal])
-        return warm_x, warm_u
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        self._plans, self._alreb0, self._tails_b = {}, {}, {}
+        for cmode in (1, 2, 3, 4):
+            pm = self.problems[cmode]
+            self._plans[cmode] = (
+                self._eng["plan"] if cmode == 1
+                else build_plan(list(pm.specs), pm.vel_cmd, pm.height_cmd,
+                                dtype=np_dtype))
+            self._alreb0[cmode] = initial_fused_alreb(list(pm.specs), dtype)
+            # Kfb arrives CHANNEL-LAST (T, 4, 14, B) from the staged
+            # solver's backward (see solver/staged.py layout notes)
+            self._tails_b[cmode] = jax.jit(jax.vmap(
+                self._make_tail(cmode), in_axes=(0, 0, 0, -1)))
 
-    def run(self, x0, n_cycles: int, cmode: int = 1):
-        """Host-driven receding-horizon loop; returns per-cycle results."""
-        x = jnp.asarray(x0, dtype=self.dtype)
-        warm_x, warm_u = self._initial_warm(cmode, x)
-        out = []
-        for _ in range(n_cycles):
-            res = self._cycles[cmode](x, warm_x, warm_u)
-            out.append(res)
-            x = res.x_next
-            warm_x, warm_u = res.warm_x, res.warm_u
-            cmode = G.next_mode(cmode)
-        return out
+    def _make_tail(self, cmode):
+        """Per-cycle tail: execute phase 0 on the plant + rotate warm start.
+
+        Static per mode: phase-0 (mode, dt, N) and the gridpoint
+        permutation; modes sharing phase-0 length share the compiled graph
+        shape family."""
+        problem = self.problems[cmode]
+        spec0 = problem.specs[0]
+        n0 = spec0.n_steps
+        perm = jnp.asarray(_rotation_permutation(
+            problem.specs, self.problems[G.next_mode(cmode)].specs,
+            self.n_wb))
+        feedback = self.feedback
+
+        def tail(x0, nom_x, nom_u, Kfb):
+            def step(x, inp):
+                nx, nu, Kk = inp
+                u = nu + (LA.mv(Kk, x - nx) if feedback else 0.0)
+                x_next, _ = Q.wb_step(x, u, spec0.mode, spec0.dt)
+                return x_next, (x, u)
+
+            xe, (xs, us) = jax.lax.scan(
+                step, x0, (nom_x[: n0 - 1], nom_u[: n0 - 1], Kfb[: n0 - 1])
+            )
+            x_next = Q.resetmap(xe, spec0.mode)[0]
+            return x_next, xs, us, nom_x[perm], nom_u[perm]
+
+        return tail
 
     def run_batched(self, x0_batch, n_cycles: int, cmode: int = 1):
-        """Receding-horizon MPC over a (B, 14) scenario batch: every cycle is
-        ONE compiled program (vmapped solve + plant rollout + warm rotation).
-        This is the «batched MPC» production config (BASELINE.json config 4);
-        the per-cycle batch stays device-resident between cycles."""
+        """Receding-horizon MPC over a (B, 14) scenario batch.  Every cycle
+        dispatches the staged solve (stage graphs shared across modes) plus
+        one small jitted execute+rotate program; the batch stays
+        device-resident between cycles.  This is the «batched MPC»
+        production config (BASELINE.json config 4)."""
         x = jnp.asarray(x0_batch, dtype=self.dtype)
-        mode0 = cmode
-        warm_x, warm_u = jax.jit(
-            jax.vmap(lambda xx: self._initial_warm(mode0, xx))
-        )(x)
+        warm_x = warm_u = None
         out = []
         for _ in range(n_cycles):
-            bc = self._bcycles.get(cmode)
-            if bc is None:
-                bc = jax.jit(jax.vmap(self._cycle_fns[cmode]))
-                self._bcycles[cmode] = bc
-            res = bc(x, warm_x, warm_u)
-            out.append(res)
-            x = res.x_next
-            warm_x, warm_u = res.warm_x, res.warm_u
+            res = self._solve(x, warm_x, warm_u,
+                              plan_=self._plans[cmode],
+                              alreb0_=self._alreb0[cmode])
+            x_next, xs, us, warm_x, warm_u = self._tails_b[cmode](
+                x, res.nominal.x, res.nominal.u, res.ctg.Kfb)
+            out.append(MPCCycleResult(
+                x_next=x_next, x_exec=xs, u_exec=us,
+                cost=res.cost, viol=res.viol,
+                warm_x=warm_x, warm_u=warm_u,
+            ))
+            x = x_next
             cmode = G.next_mode(cmode)
         return out
+
+    def run(self, x0, n_cycles: int, cmode: int = 1):
+        """Single-scenario receding-horizon loop (B=1 lane of run_batched)."""
+        out_b = self.run_batched(jnp.asarray(x0)[None], n_cycles, cmode)
+        return [jax.tree.map(lambda a: a[0] if a.ndim else a, r)
+                for r in out_b]

@@ -323,7 +323,17 @@ def _chunk_size(T: int, target: int) -> int:
 def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                       vel_cmd: float, ground_height: float,
                       height_cmd: float = 0.0, dtype=jnp.float64,
-                      lin_chunk: int = 48):
+                      lin_chunk: int = 48, acc_dtype=None):
+    """acc_dtype: dtype for the COST / violation ACCUMULATORS (V, hacc) in
+    the rollout.  The solver's discrete decisions — line-search acceptance
+    (MultiPhaseDDP.cpp:130-151), DDP convergence, AL thresholds — all
+    compare these scalars; accumulating them in f64 while trajectories stay
+    f32 removes the O(T*eps_f32) summation drift that flips accept
+    decisions (the round-2 f32 bench's 0.32 control deviation).  Cost per
+    step is ~3 scalar adds — negligible even with TPU f64 emulation.
+    Default None = same as dtype (unchanged behavior)."""
+    if acc_dtype is None:
+        acc_dtype = dtype
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     plan = build_plan(specs, vel_cmd, height_cmd, dtype=np_dtype)
     P = len(specs)
@@ -334,7 +344,14 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
     al_gate = 1.0 if getattr(opt, "AL_active", True) else 0.0
 
     # --------------------------------------------------------------- rollout
-    def _rollout_impl(x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x,
+    # Every stage function takes `plan` as its FIRST argument (a pytree of
+    # per-gridpoint arrays).  All plans of a problem family share shapes
+    # (e.g. the 4 gait-mode rotations of the default problem), so ONE
+    # compiled stage graph serves all of them — the receding-horizon MPC
+    # driver swaps plans per cycle without recompiling.  The engine dict
+    # also exposes partial-bound versions (this problem's plan) under the
+    # unsuffixed names for single-problem use.
+    def _rollout_impl(plan, x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x,
                       alreb: FusedALReB, reb_on, use_pd, with_traj=True):
         def body(carry, inp):
             x, fh, V, hacc = carry
@@ -373,7 +390,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
             Bv, _, _ = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
             l = l + reb_on * jnp.sum(alreb.eps_reb[t_pidx] * Bv * t_cvalid) * t_dt
-            V = V + t_isdyn * l
+            V = V + (t_isdyn * l).astype(acc_dtype)
 
             # terminal cost + AL penalty + switching constraint
             phi = C.terminal_cost(x, t_refx, t_qfw)
@@ -382,8 +399,9 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             phi = phi + plan.has_al[t_pidx] * (50.0 * al_gate) * (
                 (sig * h / 2.0) ** 2 + lam * h
             )
-            V = V + t_isterm * phi
-            hacc = hacc + jnp.zeros_like(hacc).at[t_pidx].set(t_isterm * h)
+            V = V + (t_isterm * phi).astype(acc_dtype)
+            hacc = hacc + jnp.zeros_like(hacc).at[t_pidx].set(
+                (t_isterm * h).astype(acc_dtype))
 
             x_store = x * jnp.where(use_pd > 0, t_wb, jnp.ones((), x.dtype))
             x_carry = jnp.where(t_isdyn > 0, x_next, x)
@@ -401,7 +419,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             nom_x, nom_u, ctg.du, ctg.Kfb,
         )
         init = (x0, jnp.zeros(4, dtype=x0.dtype),
-                jnp.zeros((), dtype=x0.dtype), jnp.zeros(P, dtype=x0.dtype))
+                jnp.zeros((), dtype=acc_dtype), jnp.zeros(P, dtype=acc_dtype))
         (_, _, V, hacc), outs = jax.lax.scan(body, init, inputs)
         if not with_traj:
             # cost/violation-only variant (line-search trials): no stacked
@@ -411,18 +429,20 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         return FusedTraj(x=xs, u=us, y=ys, V=V, h=hacc,
                          viol=jnp.sqrt(jnp.sum(hacc**2)))
 
-    def rollout(x0, nom_x, nom_u, ctg, eps, ref_x, alreb, reb_on, use_pd):
-        return _rollout_impl(x0, nom_x, nom_u, ctg, eps, ref_x, alreb,
+    def rollout(plan, x0, nom_x, nom_u, ctg, eps, ref_x, alreb, reb_on,
+                use_pd):
+        return _rollout_impl(plan, x0, nom_x, nom_u, ctg, eps, ref_x, alreb,
                              reb_on, use_pd, with_traj=True)
 
-    def rollout_V(x0, nom_x, nom_u, ctg, eps, ref_x, alreb, reb_on, use_pd):
-        return _rollout_impl(x0, nom_x, nom_u, ctg, eps, ref_x, alreb,
+    def rollout_V(plan, x0, nom_x, nom_u, ctg, eps, ref_x, alreb, reb_on,
+                  use_pd):
+        return _rollout_impl(plan, x0, nom_x, nom_u, ctg, eps, ref_x, alreb,
                              reb_on, use_pd, with_traj=False)
 
     # ------------------------------------------------------------- linearize
     def _lin_step(x, u, y, fh, t_dynid, t_pidx, t_dt, t_contact,
                   t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
-                  t_Cx, t_Cu, t_Cy, t_cb, t_cvalid, t_tcid,
+                  t_Cx, t_Cu, t_Cy, t_cb, t_cvalid, t_tcid, t_hasal,
                   alreb, reb_on, include_al_grad):
         step = lambda xx, uu: _step_dynamics(t_dynid, xx, uu, fh, t_contact, t_dt)
         A, Cm = jax.jacfwd(lambda xx: step(xx, u))(x)     # discrete A, dy/dx
@@ -452,7 +472,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         hx = jax.grad(hfun)(x)
         hxx = jax.jacfwd(jax.grad(hfun))(x)
         sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
-        al_on = plan.has_al[t_pidx] * include_al_grad * al_gate
+        al_on = t_hasal * include_al_grad * al_gate
         phix = phix + al_on * 50.0 * (sig * sig / 2.0 * hx * h + lam * hx)
         phixx = phixx + al_on * 50.0 * (
             sig * sig / 2.0 * (LA.outer(hx, hx) + h * hxx) + lam * hxx
@@ -462,7 +482,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
     def make_linearize():
         CH = _chunk_size(T, lin_chunk)
 
-        def lin(traj: FusedTraj, ref_x, alreb: FusedALReB, reb_on,
+        def lin(plan, traj: FusedTraj, ref_x, alreb: FusedALReB, reb_on,
                 include_al_grad):
             x_starts = traj.x[plan.start_idx]
             fh_p = jax.vmap(
@@ -481,13 +501,13 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                      plan.qw, plan.rw, plan.sw, plan.qfw,
                      ref_x, plan.ref_u, plan.ref_y,
                      plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid,
-                     plan.tc_id)
+                     plan.tc_id, plan.has_al[plan.phase_idx])
             chunked = jax.tree.map(
                 lambda a: a.reshape((T // CH, CH) + a.shape[1:]), per_t
             )
             outs = jax.lax.map(
                 lambda ch: jax.vmap(
-                    _lin_step, in_axes=(0,) * 21 + (None, None, None)
+                    _lin_step, in_axes=(0,) * 22 + (None, None, None)
                 )(*ch, alreb, reb_on, include_al_grad),
                 chunked,
             )
@@ -517,7 +537,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         return lin
 
     # -------------------------------------------------------------- backward
-    def backward(lin: FusedLin, reg):
+    def backward(plan, lin: FusedLin, reg):
         eye_x = jnp.eye(XDIM, dtype=lin.A.dtype)
         eye_u = jnp.eye(UDIM, dtype=lin.A.dtype)
 
@@ -578,6 +598,77 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         )
         return ok, dV, FusedCTG(du=dus, Kfb=Ks, G=Gs)
 
+    # ---------------------------------------------- backward (channel-last)
+    def backward_cl(plan, lin: FusedLin, reg_b):
+        """Batched Riccati backward sweep on CHANNEL-LAST operands.
+
+        lin leaves are (T, rows, cols, B) with the batch on the minor
+        (lane) axis; reg_b is (B,).  Numerically the same recursion as
+        `backward` (MHPC_CompoundTypes.h:117-144 + the impact-aware seam of
+        MultiPhaseDDP.cpp:299-341), but every per-step (r, c, B) array
+        tiles the TPU's (8 x 128) vregs with B on lanes — ~1.1x padding vs
+        the 10-32x a (B, r, c) layout pays, which is the difference between
+        a bandwidth-bound sweep and one that moves 30 GB of padding per
+        call (measured: the B=1024 batch-major sweep OOMs at 32.7 GB for
+        2.8 GB of data).  Returns (ok (B,) bool, dV (B,), FusedCTG with
+        (T, ..., B) leaves).
+        """
+        B = reg_b.shape[0]
+        dt_ = lin.A.dtype
+        eye_x = jnp.eye(XDIM, dtype=dt_)[:, :, None]
+        eye_u = jnp.eye(UDIM, dtype=dt_)[:, :, None]
+        regx = reg_b[None, None, :]
+
+        def body(carry, inp):
+            G1, H1, dV, ok = carry
+            (A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx, Px,
+             t_isdyn, t_isterm, t_isstart) = inp
+
+            G1 = jnp.where(t_isterm > 0, phix + G1, G1)
+            H1 = jnp.where(t_isterm > 0, phixx + H1, H1)
+
+            Qx = lx + LA.mtv_cl(A, G1) + LA.mtv_cl(Cm, ly)
+            Qu = lu + LA.mtv_cl(Bm, G1) + LA.mtv_cl(D, ly)
+            lyyC = LA.mm_cl(lyy, Cm)
+            lyyD = LA.mm_cl(lyy, D)
+            H1A = LA.mm_cl(H1, A)
+            H1B = LA.mm_cl(H1, Bm)
+            Qxx = lxx + LA.mtm_cl(Cm, lyyC) + LA.mtm_cl(A, H1A)
+            Quu = luu + LA.mtm_cl(D, lyyD) + LA.mtm_cl(Bm, H1B)
+            Qux = LA.mtm_cl(D, lyyC) + LA.mtm_cl(Bm, H1A)
+            Qxx = Qxx + eye_x * regx
+            Quu = Quu + eye_u * regx
+            ok_k = LA.is_pd_chol_cl(Quu, shift=1e-9) | (t_isdyn <= 0)
+            Quu_raw_inv = LA.inv4_cl(Quu)
+            Quu_inv = LA.sym_cl(Quu_raw_inv)
+            Qxx = LA.sym_cl(Qxx)
+            du = -LA.mv_cl(Quu_inv, Qu)
+            Kk = -LA.mm_cl(Quu_inv, Qux)
+            QuxT_Quu_inv = LA.mtm_cl(Qux, Quu_inv)
+            G_new = Qx - LA.mv_cl(QuxT_Quu_inv, Qu)
+            H_new = Qxx - LA.mm_cl(QuxT_Quu_inv, Qux)
+            dV_k = -LA.vdot_cl(Qu, LA.mv_cl(Quu_raw_inv, Qu))
+
+            G_out = jnp.where(t_isdyn > 0, G_new, G1)
+            H_out = jnp.where(t_isdyn > 0, H_new, H1)
+            dV = dV + t_isdyn * dV_k
+            G_carry = jnp.where(t_isstart > 0, LA.mtv_cl(Px, G_out), G_out)
+            H_carry = jnp.where(
+                t_isstart > 0, LA.mtm_cl(Px, LA.mm_cl(H_out, Px)), H_out)
+            return (G_carry, H_carry, dV, ok & ok_k), (
+                du * t_isdyn, Kk * t_isdyn, G_out
+            )
+
+        inputs = (lin.A, lin.Bm, lin.Cm, lin.D, lin.lx, lin.lu, lin.ly,
+                  lin.lxx, lin.luu, lin.lyy, lin.phix, lin.phixx, lin.Px,
+                  plan.is_dyn, plan.is_term, plan.is_start)
+        init = (jnp.zeros((XDIM, B), dt_), jnp.zeros((XDIM, XDIM, B), dt_),
+                jnp.zeros((B,), dt_), jnp.ones((B,), bool))
+        (_, _, dV, ok), (dus, Ks, Gs) = jax.lax.scan(
+            body, init, inputs, reverse=True
+        )
+        return ok, dV, FusedCTG(du=dus, Kfb=Ks, G=Gs)
+
     def _hp(f):
         """Pin every dot in the engine graphs to true-f32 multiplies.
 
@@ -593,6 +684,19 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                 return f(*a, **k)
         return g
 
-    return dict(plan=plan, rollout=_hp(rollout), rollout_V=_hp(rollout_V),
-                linearize=_hp(make_linearize()), backward=_hp(backward),
-                specs=specs, n_phases=P, T=T)
+    import functools
+
+    linearize = make_linearize()
+    return dict(
+        plan=plan,
+        # partial-bound to this problem's plan (single-problem use)
+        rollout=_hp(functools.partial(rollout, plan)),
+        rollout_V=_hp(functools.partial(rollout_V, plan)),
+        linearize=_hp(functools.partial(linearize, plan)),
+        backward=_hp(functools.partial(backward, plan)),
+        # plan-as-first-argument versions: one compiled graph serves every
+        # plan of identical shapes (the 4 gait-mode rotations in MPC)
+        rollout_p=_hp(rollout), rollout_V_p=_hp(rollout_V),
+        linearize_p=_hp(linearize), backward_p=_hp(backward),
+        backward_cl_p=_hp(backward_cl),
+        specs=specs, n_phases=P, T=T)

@@ -46,14 +46,49 @@ from .fused_hsddp import FusedSolveResult, LS_EPS_MIN, REG_MAX, REG_MIN
 from .fused_hsddp_batched import bwhere
 
 
+def _where_first(mask, x, y):
+    m = mask.reshape((mask.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(m, x, y)
+
+
+def _where_last(mask, x, y):
+    m = mask.reshape((1,) * (x.ndim - 1) + (mask.shape[0],))
+    return jnp.where(m, x, y)
+
+
 def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
-                        backward: str = "xla", b_tile: int = 512,
-                        interpret: bool = False):
+                        backward: str = "cl", b_tile: int = 512,
+                        interpret: bool = False, acc_dtype=None,
+                        monitor=None, ls_fastpath: int = 2):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
-    identical to fused_hsddp_batched.build_fused_solver_batched."""
+    identical to fused_hsddp_batched.build_fused_solver_batched.
+
+    acc_dtype: accumulator dtype for cost/violation scalars (see
+    make_fused_engine) — the solver's discrete decisions (line-search
+    acceptance, DDP convergence, AL thresholds) are evaluated in this
+    dtype.  Pass jnp.float64 with dtype=float32 for the mixed-precision
+    production path: f32 trajectories/linearization, f64 decisions.
+
+    monitor: optional callback(kind: str, data: dict) invoked from the
+    host-side orchestration with concrete arrays after each line search
+    ('ls') and backward retry ('bwd') — used by tools/decision_slack.py to
+    measure how close each accept decision sits to its threshold.
+
+    ls_fastpath: K >= 1 evaluates the first K line-search step sizes as
+    FULL rollouts and selects per lane, falling back to the complete
+    11-candidate sweep only when some live lane rejects all K (one scalar
+    host sync per DDP iteration decides).  Semantics are EXACTLY the
+    reference's sequential backtracking (MultiPhaseDDP.cpp:130-151): the
+    fallback recomputes every candidate, and measured decision slacks are
+    ~1e4x the accept threshold noise (tools/decision_slack.py).  Measured
+    eps-acceptance in the default workload is always within {1, 0.1}, so
+    the common path does 2 rollouts instead of 11 cost rollouts + 1 full.
+    0 disables (always the full sweep)."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
-                            height_cmd, dtype, lin_chunk=lin_chunk)
+                            height_cmd, dtype, lin_chunk=lin_chunk,
+                            acc_dtype=acc_dtype)
+    adt = acc_dtype if acc_dtype is not None else dtype
     plan = eng["plan"]
     P, T = eng["n_phases"], eng["T"]
     alreb0 = initial_fused_alreb(specs, dtype)
@@ -67,32 +102,74 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     eps_all = jnp.asarray(np.asarray(eps_list), dtype)
     L = len(eps_list)
 
+    # channel-last mode (default): linearization + cost-to-go arrays are
+    # stored (T, rows, cols, B) with batch on the TPU lane axis — compact
+    # tiling instead of the 10-32x padding batch-major small matrices pay
+    # (see ops/linalg.py channel-last section / fused.backward_cl)
+    cl = backward == "cl"
+    ctg_ax = -1 if cl else 0
+
     # ------------------------------------------------------ jitted stages
+    # `plan` rides through every stage as a (vmap-broadcast) argument so one
+    # compiled graph serves all same-shaped plans — see make_fused_engine.
     rollout_b = jax.jit(jax.vmap(
-        eng["rollout"], in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
+        eng["rollout_p"],
+        in_axes=(None, 0, 0, 0, ctg_ax, 0, 0, 0, 0, None)))
     # (B, L) cost-only rollouts: inner vmap over eps, outer over the batch
     rollout_V_be = jax.jit(jax.vmap(
-        jax.vmap(eng["rollout_V"],
-                 in_axes=(None, None, None, None, 0, None, None, None, None)),
-        in_axes=(0, 0, 0, 0, None, 0, 0, 0, None)))
+        jax.vmap(eng["rollout_V_p"],
+                 in_axes=(None, None, None, None, None, 0, None, None, None,
+                          None)),
+        in_axes=(None, 0, 0, 0, ctg_ax, None, 0, 0, 0, None)))
     linearize_b = jax.jit(jax.vmap(
-        eng["linearize"], in_axes=(0, 0, 0, 0, None)))
+        eng["linearize_p"], in_axes=(None, 0, 0, 0, 0, None),
+        out_axes=(-1 if cl else 0)))
 
     if backward == "pallas":
         from ..ops.riccati_pallas import backward_batched_pallas, segment_plan_of
 
         seg = segment_plan_of(plan)
 
-        def backward_b(lin_b, reg_b):
+        def backward_b(_plan, lin_b, reg_b):
             ok, dV, ctg = backward_batched_pallas(
                 seg, lin_b, reg_b, b_tile=b_tile, interpret=interpret)
             return ok, dV.astype(dtype), jax.tree.map(
                 lambda a: a.astype(dtype), ctg)
+    elif cl:
+        backward_b = eng["backward_cl_p"]
     else:
-        backward_b = jax.vmap(eng["backward"], in_axes=(0, 0))
+        backward_b = jax.vmap(eng["backward_p"], in_axes=(None, 0, 0))
+
+    def ctg_where(mask_b, a, b):
+        sel = _where_last if cl else _where_first
+        return jax.tree.map(lambda x, y: sel(mask_b, x, y), a, b)
+
+    def result_where(mask_b, a: FusedSolveResult, b: FusedSolveResult,
+                     lin_out=None):
+        """Per-lane select over a FusedSolveResult whose nominal/alreb are
+        batch-major while ctg/lin follow the backward layout.
+
+        lin_out: the linearization to carry forward WITHOUT per-lane
+        selection.  A masked-out lane's lin is never consumed (its
+        subsequent backward results are discarded by the same masks), and
+        the lin tree is by far the largest state (~2.8 GB at B=1024), so
+        selecting it per lane would triple transient memory for nothing.
+        Defaults to b.lin."""
+        wf = lambda ta, tb: jax.tree.map(
+            lambda x, y: _where_first(mask_b, x, y), ta, tb)
+        return FusedSolveResult(
+            nominal=wf(a.nominal, b.nominal),
+            ctg=ctg_where(mask_b, a.ctg, b.ctg),
+            lin=b.lin if lin_out is None else lin_out,
+            alreb=wf(a.alreb, b.alreb),
+            cost=jnp.where(mask_b, a.cost, b.cost),
+            viol=jnp.where(mask_b, a.viol, b.viol),
+            reg=jnp.where(mask_b, a.reg, b.reg),
+            aborted=jnp.where(mask_b, a.aborted, b.aborted),
+        )
 
     @jax.jit
-    def backward_retry_jit(lin_b, ctg_prev, reg0_b):
+    def backward_retry_jit(plan, lin_b, ctg_prev, reg0_b):
         """Regularization retry (MultiPhaseDDP.cpp:209-227) as ONE compiled
         while_loop around the backward sweep."""
         B = reg0_b.shape[0]
@@ -103,13 +180,13 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
 
         def body(c):
             reg, success, aborted, ctgs, dVexp = c
-            ok, dV, new_ctg = backward_b(lin_b, reg)
+            ok, dV, new_ctg = backward_b(plan, lin_b, reg)
             active = (~success) & (~aborted)
             adopt = active & ok
             new_reg = jnp.maximum(reg * opt.update_regularization, REG_MIN)
             reg_out = jnp.where(active & (~ok), new_reg, reg)
             aborted_new = aborted | (active & (~ok) & (new_reg > REG_MAX))
-            ctg_out = bwhere(adopt, new_ctg, ctgs)
+            ctg_out = ctg_where(adopt, new_ctg, ctgs)
             dV_out = jnp.where(adopt, dV, dVexp)
             return (reg_out, success | adopt, aborted_new, ctg_out, dV_out)
 
@@ -119,19 +196,31 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
             cond, body, init)
         return reg, aborted, ctg, dVexp
 
+    # decision arithmetic in the accumulator dtype (MultiPhaseDDP.cpp:146)
+    eps_acc = eps_all.astype(adt)
+
     @jax.jit
     def ls_select(V_bl, cost_prev_b, dVexp_b):
-        """First-accepted candidate index per lane + acceptance mask."""
-        dec = (opt.gamma * eps_all * (1.0 - eps_all / 2.0))[None, :]
-        ok = V_bl <= cost_prev_b[:, None] + dec * dVexp_b[:, None]
+        """First-accepted candidate index per lane + acceptance mask.
+
+        Works for any candidate-prefix width: V_bl is (B, L') with L' <= L
+        matching eps_all[:L'] (the sequential trial order of
+        MultiPhaseDDP.cpp:130-151, so first-accepted == reference's)."""
+        Lp = V_bl.shape[1]
+        dec = (opt.gamma * eps_acc[:Lp] * (1.0 - eps_acc[:Lp] / 2.0))[None, :]
+        ok = (V_bl.astype(adt)
+              <= cost_prev_b.astype(adt)[:, None]
+              + dec * dVexp_b.astype(adt)[:, None])
         accepted = jnp.any(ok, axis=1)
         first = jnp.argmax(ok, axis=1)
         return eps_all[first], accepted
 
     @jax.jit
     def update_al_reb_b(alreb: FusedALReB, h_b, viol_b, reb_on_b, aborted):
-        pen = jnp.where(viol_b < 0.03, 0.0, opt.update_penalty)[:, None]
-        lam = alreb.lam + alreb.sigma * h_b
+        sdt = alreb.sigma.dtype  # keep AL/ReB state in the engine dtype
+        pen = jnp.where(viol_b < 0.03, 0.0, opt.update_penalty
+                        ).astype(sdt)[:, None]
+        lam = alreb.lam + alreb.sigma * h_b.astype(sdt)
         sigma = alreb.sigma * pen
         reb = reb_on_b[:, None, None] > 0
         delta = jnp.where(
@@ -147,85 +236,159 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         return jnp.zeros((B,) + shape, dtype)
 
     # --------------------------------------------------- solve orchestration
-    def line_search(x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
-                    cost_prev_b, dVexp_b):
+    def _ls_probe(plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
+                  cost_prev_b, dVexp_b, eps_cand):
+        """Cost-only rollouts at a candidate prefix + first-accepted select
+        + ONE full rollout at each lane's selected step size."""
         zf = jnp.zeros((), dtype)
-        V_bl, _, _ = rollout_V_be(x0_b, nominal.x, nominal.u, ctg, eps_all,
-                                  ref_x, alreb_b, reb_on_b, zf)
+        V_bl, _, _ = rollout_V_be(plan, x0_b, nominal.x, nominal.u, ctg,
+                                  eps_cand, ref_x, alreb_b, reb_on_b, zf)
         eps_sel, accepted = ls_select(V_bl, cost_prev_b, dVexp_b)
-        tr = rollout_b(x0_b, nominal.x, nominal.u, ctg, eps_sel, ref_x,
+        return V_bl, eps_sel, accepted
+
+    def line_search(plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
+                    cost_prev_b, dVexp_b, aborted_b):
+        K = int(ls_fastpath or 0)
+        zf = jnp.zeros((), dtype)
+        if 0 < K < L:
+            V_bl, eps_sel, accepted = _ls_probe(
+                plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
+                cost_prev_b, dVexp_b, eps_all[:K])
+            # the one scalar host sync per DDP iteration: fall back to the
+            # full candidate sweep only if some live lane rejected all K
+            if not bool(jnp.all(accepted | aborted_b)):
+                V_bl, eps_sel, accepted = _ls_probe(
+                    plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
+                    cost_prev_b, dVexp_b, eps_all)
+        else:
+            V_bl, eps_sel, accepted = _ls_probe(
+                plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
+                cost_prev_b, dVexp_b, eps_all)
+        tr = rollout_b(plan, x0_b, nominal.x, nominal.u, ctg, eps_sel, ref_x,
                        alreb_b, reb_on_b, zf)
+        if monitor is not None:
+            monitor("ls", dict(V_bl=V_bl, cost_prev=cost_prev_b,
+                               dVexp=dVexp_b, eps=eps_sel,
+                               accepted=accepted))
         return bwhere(accepted, tr, nominal)
 
-    def _ddp_iteration(x0_b, ref_x, st: FusedSolveResult, reb_on_b):
+    def _ddp_iteration(plan, x0_b, ref_x, st: FusedSolveResult, reb_on_b):
         cost_prev = st.cost
-        reg, aborted, ctg, dVexp = backward_retry_jit(st.lin, st.ctg, st.reg)
+        reg, aborted, ctg, dVexp = backward_retry_jit(
+            plan, st.lin, st.ctg, st.reg)
+        if monitor is not None:
+            monitor("bwd", dict(reg=reg, aborted=aborted, dVexp=dVexp))
         reg = reg / 20.0
         reg = jnp.where(reg < 1e-6, 0.0, reg)
-        tr = line_search(x0_b, st.nominal, ctg, ref_x, st.alreb, reb_on_b,
-                         cost_prev, dVexp)
-        lin = linearize_b(tr, ref_x, st.alreb, reb_on_b, jnp.zeros((), dtype))
+        tr = line_search(plan, x0_b, st.nominal, ctg, ref_x, st.alreb,
+                         reb_on_b, cost_prev, dVexp, st.aborted | aborted)
+        lin = linearize_b(plan, tr, ref_x, st.alreb, reb_on_b,
+                          jnp.zeros((), dtype))
         out = st._replace(nominal=tr, ctg=ctg, lin=lin, cost=tr.V,
                           viol=tr.viol, reg=reg)
         converged = (cost_prev - tr.V) < opt.DDP_thresh
-        out = bwhere(aborted, st._replace(aborted=st.aborted | aborted), out)
+        out = result_where(
+            aborted, st._replace(aborted=st.aborted | aborted), out)
         return out, converged
 
-    def _al_iteration(x0_b, ref_x, carry: FusedSolveResult, al_iter):
+    def _al_iteration(plan, x0_b, ref_x, carry: FusedSolveResult, al_iter):
         B = x0_b.shape[0]
         reb_on_b = (jnp.asarray(bool(opt.ReB_active))
                     & (al_iter > 1) & (carry.viol <= 0.05)).astype(dtype)
         zf = jnp.zeros((), dtype)
-        tr = rollout_b(x0_b, carry.nominal.x, carry.nominal.u, carry.ctg,
-                       jnp.zeros((B,), dtype), ref_x, carry.alreb, reb_on_b,
-                       zf)
-        lin = linearize_b(tr, ref_x, carry.alreb, reb_on_b,
+        tr = rollout_b(plan, x0_b, carry.nominal.x, carry.nominal.u,
+                       carry.ctg, jnp.zeros((B,), dtype), ref_x, carry.alreb,
+                       reb_on_b, zf)
+        lin = linearize_b(plan, tr, ref_x, carry.alreb, reb_on_b,
                           jnp.ones((), dtype))
         st = carry._replace(nominal=tr, lin=lin, cost=tr.V, viol=tr.viol,
                             reg=jnp.zeros((B,), dtype))
 
         done = jnp.zeros((B,), bool)
         for _ in range(opt.max_DDP_iter):
-            new_st, conv = _ddp_iteration(x0_b, ref_x, st, reb_on_b)
+            new_st, conv = _ddp_iteration(plan, x0_b, ref_x, st, reb_on_b)
             active = (~done) & (~st.aborted)
-            st = bwhere(active, new_st, st)
+            st = result_where(active, new_st, st, lin_out=new_st.lin)
             done = done | (active & (conv | new_st.aborted))
         alreb = update_al_reb_b(st.alreb, st.nominal.h, st.viol, reb_on_b,
                                 st.aborted)
         return st._replace(alreb=alreb)
 
-    def solve_batched(x0_b):
+    def solve_batched(x0_b, warm_x_b=None, warm_u_b=None, plan_=None,
+                      alreb0_=None):
+        """Solve for a batch of initial states.
+
+        warm_x_b/warm_u_b: optional (B, T, .) nominal trajectories seeding
+        the solve (receding-horizon reuse; MHPCLocomotion.cpp:200-215 runs
+        the PD heuristic when absent).  plan_/alreb0_: alternate problem
+        plan + AL/ReB init of IDENTICAL shapes (e.g. another gait rotation)
+        — reuses every compiled stage graph.
+        """
+        plan = plan_ if plan_ is not None else eng["plan"]
+        a0 = alreb0_ if alreb0_ is not None else alreb0
         x0_b = jnp.asarray(x0_b, dtype)
         B = x0_b.shape[0]
         ref_x = jax.vmap(lambda x: plan.ref_x.at[:, 0].add(x[0]))(x0_b)
-        ctg0 = FusedCTG(du=zeros_b(B, T, 4), Kfb=zeros_b(B, T, 4, XDIM),
-                        G=zeros_b(B, T, XDIM))
+        if cl:
+            ctg0 = FusedCTG(du=jnp.zeros((T, 4, B), dtype),
+                            Kfb=jnp.zeros((T, 4, XDIM, B), dtype),
+                            G=jnp.zeros((T, XDIM, B), dtype))
+        else:
+            ctg0 = FusedCTG(du=zeros_b(B, T, 4), Kfb=zeros_b(B, T, 4, XDIM),
+                            G=zeros_b(B, T, XDIM))
         alreb_b = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (B,) + a.shape), alreb0)
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), a0)
         zf = jnp.zeros((), dtype)
-        ws = rollout_b(x0_b, zeros_b(B, T, XDIM), zeros_b(B, T, 4), ctg0,
-                       jnp.zeros((B,), dtype), ref_x, alreb_b,
-                       jnp.zeros((B,), dtype), jnp.ones((), dtype))
-        lin0 = FusedLin(
-            A=zeros_b(B, T, XDIM, XDIM), Bm=zeros_b(B, T, XDIM, 4),
-            Cm=zeros_b(B, T, 4, XDIM), D=zeros_b(B, T, 4, 4),
-            lx=zeros_b(B, T, XDIM), lu=zeros_b(B, T, 4),
-            ly=zeros_b(B, T, 4), lxx=zeros_b(B, T, XDIM, XDIM),
-            luu=zeros_b(B, T, 4, 4), lyy=zeros_b(B, T, 4, 4),
-            phix=zeros_b(B, T, XDIM), phixx=zeros_b(B, T, XDIM, XDIM),
-            Px=zeros_b(B, T, XDIM, XDIM),
-        )
+        if warm_x_b is None:
+            ws = rollout_b(plan, x0_b, zeros_b(B, T, XDIM), zeros_b(B, T, 4),
+                           ctg0, jnp.zeros((B,), dtype), ref_x, alreb_b,
+                           jnp.zeros((B,), dtype), jnp.ones((), dtype))
+        else:
+            # seed nominal directly (warm trajectories are re-rolled by the
+            # first AL iteration's rollout, like the reference's
+            # update_nominal_trajectory handoff)
+            ws = FusedTraj(
+                x=jnp.asarray(warm_x_b, dtype), u=jnp.asarray(warm_u_b, dtype),
+                y=zeros_b(B, T, 4), V=jnp.zeros((B,), adt),
+                h=jnp.zeros((B, P), adt), viol=jnp.zeros((B,), adt),
+            )
+        if cl:
+            zc = lambda *s: jnp.zeros((T,) + s + (B,), dtype)
+            lin0 = FusedLin(
+                A=zc(XDIM, XDIM), Bm=zc(XDIM, 4), Cm=zc(4, XDIM),
+                D=zc(4, 4), lx=zc(XDIM), lu=zc(4), ly=zc(4),
+                lxx=zc(XDIM, XDIM), luu=zc(4, 4), lyy=zc(4, 4),
+                phix=zc(XDIM), phixx=zc(XDIM, XDIM), Px=zc(XDIM, XDIM),
+            )
+        else:
+            lin0 = FusedLin(
+                A=zeros_b(B, T, XDIM, XDIM), Bm=zeros_b(B, T, XDIM, 4),
+                Cm=zeros_b(B, T, 4, XDIM), D=zeros_b(B, T, 4, 4),
+                lx=zeros_b(B, T, XDIM), lu=zeros_b(B, T, 4),
+                ly=zeros_b(B, T, 4), lxx=zeros_b(B, T, XDIM, XDIM),
+                luu=zeros_b(B, T, 4, 4), lyy=zeros_b(B, T, 4, 4),
+                phix=zeros_b(B, T, XDIM), phixx=zeros_b(B, T, XDIM, XDIM),
+                Px=zeros_b(B, T, XDIM, XDIM),
+            )
         carry = FusedSolveResult(
             nominal=ws, ctg=ctg0, lin=lin0, alreb=alreb_b,
-            cost=zeros_b(B), viol=zeros_b(B), reg=zeros_b(B),
-            aborted=jnp.zeros((B,), bool),
+            cost=jnp.zeros((B,), adt), viol=jnp.zeros((B,), adt),
+            reg=zeros_b(B), aborted=jnp.zeros((B,), bool),
         )
 
         done = jnp.zeros((B,), bool)
         for i in range(opt.max_AL_iter):
-            new_carry = _al_iteration(x0_b, ref_x, carry, i + 1)
-            carry = bwhere(done | carry.aborted, carry, new_carry)
+            new_carry = _al_iteration(plan, x0_b, ref_x, carry, i + 1)
+            carry = result_where(done | carry.aborted, carry, new_carry)
             done = done | (carry.viol < opt.AL_thresh)
         return carry
 
+    # the exact jitted stage programs the solve dispatches, for profiling
+    # (tools/profile_staged_tpu.py) — timing THESE measures the production
+    # path, not a re-jitted lookalike with different HLO
+    eng["stages"] = dict(
+        rollout_b=rollout_b, rollout_V_be=rollout_V_be,
+        linearize_b=linearize_b, backward_retry=backward_retry_jit,
+        eps_all=eps_all,
+    )
     return solve_batched, eng

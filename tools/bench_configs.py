@@ -40,9 +40,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
+    on_cpu = args.cpu or jax.devices()[0].platform == "cpu"
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache",
+        ".jax_cache" if on_cpu else ".jax_cache_tpu",
     )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

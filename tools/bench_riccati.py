@@ -76,8 +76,7 @@ def main():
     plan = eng["plan"]
     seg = segment_plan_of(plan)
 
-    rng = np.random.default_rng(0)
-    lin = synth_lin(B, T, rng, xla_dtype)
+    lin = synth_lin(B, T, xla_dtype)
     reg = jnp.full((B,), 1.0, xla_dtype)
 
     print(f"devices={jax.devices()} B={B} T={T} xla_dtype={xla_dtype.__name__}",

@@ -32,8 +32,10 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
+    # mirror bench.py: TPU executables live in a separate committable dir
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    cache = os.path.join(root, ".jax_cache" if on_cpu else ".jax_cache_tpu")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -81,7 +83,9 @@ def main():
     print(f"[prof] full solve steady: {best*1e3:.1f} ms "
           f"({B/best:.1f} solves/s)", flush=True)
 
-    # isolated stages on the converged operands
+    # isolated stages on the converged operands — the EXACT jitted programs
+    # the staged solve dispatches (eng["stages"]), so these times are the
+    # production path's
     alreb0 = initial_fused_alreb(list(problem.specs), dtype)
     alreb_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
                            alreb0)
@@ -90,29 +94,21 @@ def main():
     eps0 = jnp.zeros((B,), dtype)
     reb0 = jnp.zeros((B,), dtype)
 
-    rollout_b = jax.jit(jax.vmap(
-        eng["rollout"], in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
-    rollout_V_be = jax.jit(jax.vmap(
-        jax.vmap(eng["rollout_V"],
-                 in_axes=(None, None, None, None, 0, None, None, None, None)),
-        in_axes=(0, 0, 0, 0, None, 0, 0, 0, None)))
-    linearize_b = jax.jit(jax.vmap(
-        eng["linearize"], in_axes=(0, 0, 0, 0, None)))
-    backward_b = jax.jit(jax.vmap(eng["backward"], in_axes=(0, 0)))
+    st = eng["stages"]
+    rollout_b, rollout_V_be = st["rollout_b"], st["rollout_V_be"]
+    linearize_b, backward_retry = st["linearize_b"], st["backward_retry"]
+    eps_all = st["eps_all"]
 
-    import mhpc_minimal_env_tpu.solver.staged as S
-    eps_all = jnp.asarray(
-        [problem.opt.alpha ** i for i in range(11)], dtype)
-
-    tr = bench("rollout (full)", rollout_b, x0, res.nominal.x, res.nominal.u,
-               res.ctg, eps0, ref_x, alreb_b, reb0, zf)
-    bench("rollout_V x11 eps (LS)", rollout_V_be, x0, res.nominal.x,
+    tr = bench("rollout (full)", rollout_b, plan, x0, res.nominal.x,
+               res.nominal.u, res.ctg, eps0, ref_x, alreb_b, reb0, zf)
+    bench("rollout_V x11 eps (LS)", rollout_V_be, plan, x0, res.nominal.x,
           res.nominal.u, res.ctg, eps_all, ref_x, alreb_b, reb0, zf)
-    lin = bench("linearize", linearize_b, tr, ref_x, alreb_b, reb0, zf)
-    bench("backward (Riccati)", backward_b, lin, jnp.zeros((B,), dtype))
-    print("[prof] per AL iter: rollout + linearize + 3x(backward + LS "
-          "rollouts + rollout + linearize); 2 AL iters per solve",
-          flush=True)
+    lin = bench("linearize", linearize_b, plan, tr, ref_x, alreb_b, reb0, zf)
+    bench("backward+retry", backward_retry, plan, lin, res.ctg,
+          jnp.zeros((B,), dtype))
+    print("[prof] per solve: 1 warm rollout + 2 AL x [rollout + linearize "
+          "+ <=3 DDP x (backward_retry + LS(2 rollouts | 11-eps sweep) "
+          "+ linearize)]", flush=True)
 
 
 if __name__ == "__main__":
