@@ -3,7 +3,7 @@
 
 Prints ONE JSON line:
   {"metric": "hsddp_solves_per_s", "value": N, "unit": "solves/s",
-   "vs_baseline": N / 15.0}
+   "vs_baseline": N / 15.0, "control_dev_vs_reference": ..., ...}
 
 Baseline: the reference `mhpc_ctrl` measures ~15 solves/s on one CPU core
 (BASELINE.md: 66 ms/solve).  The workload is the identical default problem
@@ -11,18 +11,26 @@ Baseline: the reference `mhpc_ctrl` measures ~15 solves/s on one CPU core
 perturbed initial states; lane 0 is the exact golden problem and its
 control sequence is checked against the recorded reference run.
 
-Robustness (round-1 failure was rc=124 with no output): this entry point is
-an ORCHESTRATOR that runs worker attempts in subprocesses, each with its
-own wall-clock budget, walking a degradation ladder (smaller batch, f32)
-until one emits a JSON line — so the driver always records a number.  The
-default engine is the staged host-orchestrated solver (solver/staged.py),
-whose three stage graphs compile in minutes, not the >9-minute single
-full-solve graph of round 1; a persistent compilation cache
-(.jax_cache) makes warm runs start in seconds.
+Fidelity contract (BASELINE.json): the north star demands solves/s AND
+max control deviation <= 1e-3 vs the f64 Eigen reference.  Measured
+(tools/decision_slack.py): the solver's iterate path amplifies arithmetic
+noise ~1e12x, so ONLY f64 arithmetic can meet the literal 1e-3 bound —
+f32 converges to an equally good solution (same discrete decision
+sequence, cost/violation equal to ~1e-4 relative) but its control trace
+deviates O(0.3).  The HEADLINE number is therefore the f64 (SLO-meeting)
+throughput; the f32 production-throughput point is reported alongside as
+f32_* fields with its own solution-quality evidence.
+
+Robustness: this entry point is an ORCHESTRATOR that runs worker attempts
+in subprocesses, each with its own wall-clock budget, walking a
+degradation ladder (smaller batch) until a rung emits a JSON line — the
+driver always records a number.  The staged engine's stage graphs compile
+in ~10-70 s each on the tunneled TPU and land in the committed persistent
+cache (.jax_cache_tpu), so driver runs start warm.
 
 Env knobs: MHPC_BENCH_BATCH, MHPC_BENCH_REPS, MHPC_BENCH_DTYPE (f64|f32),
-MHPC_BENCH_ENGINE (staged|staged_pallas|batched|batched_pallas|vmap),
-MHPC_BENCH_BUDGET (total seconds, default 520).
+MHPC_BENCH_ENGINE (staged|batched|vmap), MHPC_BENCH_BUDGET (total seconds,
+default 520), MHPC_BENCH_SECONDARY=0 to skip the f32 rung.
 """
 import json
 import os
@@ -40,21 +48,22 @@ BASELINE_SOLVES_PER_S = 15.0
 # worker: one attempt at a fixed config
 # --------------------------------------------------------------------------
 
-def build_solver(engine, dtype, problem, lin_chunk, b_tile):
+def build_solver(engine, dtype, problem, lin_chunk):
     import jax
+    import jax.numpy as jnp
 
-    if engine in ("staged", "staged_pallas"):
+    if engine == "staged":
         from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
 
+        # f32 runs keep all accept/convergence decisions in f64 (acc_dtype)
+        acc = jnp.float64 if dtype == jnp.float32 else None
         solve_b, _ = build_staged_solver(
             list(problem.specs), problem.opt, problem.vel_cmd,
             problem.ground_height, problem.height_cmd, dtype,
-            lin_chunk=lin_chunk,
-            backward="pallas" if engine == "staged_pallas" else "xla",
-            b_tile=b_tile,
+            lin_chunk=lin_chunk, acc_dtype=acc,
         )
-        return solve_b
-    if engine in ("batched", "batched_pallas"):
+        return solve_b, "cl"
+    if engine == "batched":
         from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
             build_fused_solver_batched,
         )
@@ -63,15 +72,13 @@ def build_solver(engine, dtype, problem, lin_chunk, b_tile):
             list(problem.specs), problem.opt, problem.vel_cmd,
             problem.ground_height, problem.height_cmd, dtype,
             lin_chunk=lin_chunk,
-            backward="pallas" if engine == "batched_pallas" else "xla",
-            b_tile=b_tile,
         )
-        return jax.jit(solve_b)
+        return jax.jit(solve_b), "bm"
     # engine == "vmap": jit(vmap(single-solve)) on the fused engine
     from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion
 
     return MHPCLocomotion(problem, dtype=dtype,
-                          lin_chunk=lin_chunk).solve_batched
+                          lin_chunk=lin_chunk).solve_batched, "bm"
 
 
 def worker():
@@ -94,24 +101,16 @@ def worker():
 
     B = int(os.environ.get("MHPC_BENCH_BATCH", "256"))
     reps = int(os.environ.get("MHPC_BENCH_REPS", "3"))
-    # default dtype: f64 is the golden-fidelity path and is what CPU runs;
-    # on TPU f64 is software-emulated (5x compile, 3x runtime — measured
-    # round 2) so the throughput bench defaults to f32 there and reports
-    # lane-0 solution-quality figures vs the reference run instead.
-    dt_env = os.environ.get("MHPC_BENCH_DTYPE")
-    if dt_env is None:
-        dtype = jnp.float64 if on_cpu else jnp.float32
-    else:
-        dtype = jnp.float32 if dt_env == "f32" else jnp.float64
+    dt_env = os.environ.get("MHPC_BENCH_DTYPE", "f64")
+    dtype = jnp.float32 if dt_env == "f32" else jnp.float64
     engine = os.environ.get("MHPC_BENCH_ENGINE", "staged")
     lin_chunk = int(os.environ.get("MHPC_LIN_CHUNK", "48"))
-    b_tile = int(os.environ.get("MHPC_BTILE", "512"))
 
     print(f"[bench] devices={jax.devices()} engine={engine} B={B} "
           f"dtype={dtype.__name__}", file=sys.stderr, flush=True)
 
     problem = default_problem()
-    solve = build_solver(engine, dtype, problem, lin_chunk, b_tile)
+    solve, layout = build_solver(engine, dtype, problem, lin_chunk)
     rng = np.random.default_rng(0)
 
     def make_x0(B):
@@ -139,17 +138,13 @@ def worker():
     print(f"[bench] first batch (incl compile): {time.time()-t0:.1f}s B={B}",
           file=sys.stderr, flush=True)
 
-    # fidelity: lane 0 is the exact reference problem.  In f64 the control
-    # sequence matches the golden run to <=1e-3 (the golden test's SLO);
-    # in f32 discrete line-search accept decisions can flip, so the control
-    # trace diverges while the SOLUTION stays equally good — report both
-    # the raw deviation and the solution-quality figures (terminal
-    # constraint violation vs the reference's logged 2.365e-2, cost).
+    # fidelity: lane 0 is the exact reference problem
     quality = {}
     try:
         g = np.load(os.path.join(HERE, "tests", "golden",
                                  "reference_run.npz"))
-        ctrl = np.asarray(res.nominal.u[0]).reshape(-1, 4)
+        u = np.asarray(res.nominal.u)
+        ctrl = (u[..., 0] if layout == "cl" else u[0]).reshape(-1, 4)
         quality["control_dev_vs_reference"] = float(
             np.nanmax(np.abs(ctrl - g["control"])))
         quality["lane0_terminal_viol"] = float(np.asarray(res.viol[0]))
@@ -189,58 +184,83 @@ def worker():
 
 
 # --------------------------------------------------------------------------
-# orchestrator: degradation ladder in subprocesses
+# orchestrator: fidelity headline + f32 throughput rung, in subprocesses
 # --------------------------------------------------------------------------
 
-LADDER = [
-    # (env overrides, per-attempt budget seconds)
-    ({}, 420),                                                # as configured
-    ({"MHPC_BENCH_BATCH": "64"}, 240),                        # smaller batch
-    ({"MHPC_BENCH_BATCH": "64", "MHPC_BENCH_DTYPE": "f32"}, 200),
-    ({"MHPC_BENCH_BATCH": "8", "MHPC_BENCH_DTYPE": "f32",
+PRIMARY = [  # f64: the SLO-meeting fidelity path (headline)
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "256"}, 420),
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "64"}, 240),
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "8",
       "MHPC_BENCH_REPS": "1"}, 150),
 ]
+SECONDARY = [  # f32: production-throughput point (reported as f32_*)
+    ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "512"}, 280),
+    ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "256"}, 160),
+]
+
+
+def _run_rung(overrides, budget):
+    env = dict(os.environ)
+    env.update(overrides)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env, capture_output=True, text=True, timeout=budget,
+        )
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr or "")[-500:] if isinstance(e.stderr, str) else ""
+        print(f"[bench] rung {overrides} timed out after {budget:.0f}s\n"
+              f"{tail}", file=sys.stderr, flush=True)
+        return None
+    sys.stderr.write(p.stderr[-3000:])
+    lines = [l for l in p.stdout.splitlines()
+             if l.startswith("{") and '"metric"' in l]
+    if p.returncode == 0 and lines:
+        return json.loads(lines[-1])
+    print(f"[bench] rung {overrides} rc={p.returncode}: {p.stdout[-300:]}",
+          file=sys.stderr, flush=True)
+    return None
 
 
 def orchestrate():
     total_budget = float(os.environ.get("MHPC_BENCH_BUDGET", "520"))
     deadline = time.time() + total_budget
-    last_err = ""
-    for i, (overrides, budget) in enumerate(LADDER):
+    primary = None
+    for i, (overrides, budget) in enumerate(PRIMARY):
         remaining = deadline - time.time()
         if remaining < 30:
             break
-        attempt_budget = min(budget, remaining)
-        env = dict(os.environ)
-        env.update(overrides)
-        print(f"[bench] attempt {i}: overrides={overrides} "
-              f"budget={attempt_budget:.0f}s", file=sys.stderr, flush=True)
-        try:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker"],
-                env=env, capture_output=True, text=True,
-                timeout=attempt_budget,
-            )
-        except subprocess.TimeoutExpired as e:
-            tail = (e.stderr or "")[-500:] if isinstance(e.stderr, str) else ""
-            last_err = f"attempt {i} timed out after {attempt_budget:.0f}s"
-            print(f"[bench] {last_err}\n{tail}", file=sys.stderr, flush=True)
-            continue
-        sys.stderr.write(p.stderr[-4000:])
-        json_lines = [l for l in p.stdout.splitlines()
-                      if l.startswith("{") and '"metric"' in l]
-        if p.returncode == 0 and json_lines:
-            print(json_lines[-1], flush=True)
-            return 0
-        last_err = f"attempt {i} rc={p.returncode}"
-        print(f"[bench] {last_err}: {p.stdout[-300:]}", file=sys.stderr,
+        print(f"[bench] primary rung {i}: {overrides}", file=sys.stderr,
               flush=True)
-    # every rung failed: emit an honest zero so the driver records the miss
-    print(json.dumps({
-        "metric": "hsddp_solves_per_s", "value": 0.0, "unit": "solves/s",
-        "vs_baseline": 0.0, "error": last_err or "no attempt ran",
-    }), flush=True)
-    return 1
+        primary = _run_rung(overrides, min(budget, remaining))
+        if primary:
+            break
+    if primary is None:
+        print(json.dumps({
+            "metric": "hsddp_solves_per_s", "value": 0.0,
+            "unit": "solves/s", "vs_baseline": 0.0,
+            "error": "no primary rung completed",
+        }), flush=True)
+        return 1
+
+    if os.environ.get("MHPC_BENCH_SECONDARY", "1") != "0":
+        for overrides, budget in SECONDARY:
+            remaining = deadline - time.time()
+            if remaining < 30:
+                break
+            print(f"[bench] secondary rung: {overrides}", file=sys.stderr,
+                  flush=True)
+            sec = _run_rung(overrides, min(budget, remaining))
+            if sec:
+                for k in ("value", "batch", "control_dev_vs_reference",
+                          "lane0_terminal_viol", "lane0_cost",
+                          "aborted_lanes"):
+                    if k in sec:
+                        primary[f"f32_{k if k != 'value' else 'solves_per_s'}"] = sec[k]
+                break
+
+    print(json.dumps(primary), flush=True)
+    return 0
 
 
 if __name__ == "__main__":

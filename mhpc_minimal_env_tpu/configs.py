@@ -104,8 +104,9 @@ def run_mhpc_ctrl_default(dtype=None, reps: int = 5, B: int = 1) -> Dict:
     }
     try:
         g = np.load(_golden_path())
+        # staged trajectories are channel-last: u is (T, 4, B)
         dev = float(np.nanmax(np.abs(
-            np.asarray(res.nominal.u[0]) - g["control"])))
+            np.asarray(res.nominal.u[..., 0]) - g["control"])))
         out["control_dev_vs_reference"] = dev
     except Exception:
         pass

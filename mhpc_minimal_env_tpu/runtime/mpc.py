@@ -114,10 +114,13 @@ class RecedingHorizonMPC:
                 else build_plan(list(pm.specs), pm.vel_cmd, pm.height_cmd,
                                 dtype=np_dtype))
             self._alreb0[cmode] = initial_fused_alreb(list(pm.specs), dtype)
-            # Kfb arrives CHANNEL-LAST (T, 4, 14, B) from the staged
-            # solver's backward (see solver/staged.py layout notes)
+            # trajectories and gains arrive CHANNEL-LAST (T, ., B) from the
+            # staged solver (see solver/staged.py layout notes); the warm
+            # rotation is emitted channel-last so it feeds straight back
+            # into the next solve
             self._tails_b[cmode] = jax.jit(jax.vmap(
-                self._make_tail(cmode), in_axes=(0, 0, 0, -1)))
+                self._make_tail(cmode), in_axes=(0, -1, -1, -1),
+                out_axes=(0, 0, 0, -1, -1)))
 
     def _make_tail(self, cmode):
         """Per-cycle tail: execute phase 0 on the plant + rotate warm start.

@@ -440,10 +440,28 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                              reb_on, use_pd, with_traj=False)
 
     # ------------------------------------------------------------- linearize
-    def _lin_step(x, u, y, fh, t_dynid, t_pidx, t_dt, t_contact,
-                  t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
-                  t_Cx, t_Cu, t_Cy, t_cb, t_cvalid, t_tcid, t_hasal,
-                  alreb, reb_on, include_al_grad):
+    def _terminal_al_grads(x, t_tcid, t_hasal, sig, lam, include_al_grad):
+        """AL terminal-constraint gradient/Hessian contribution
+        (SinglePhase.cpp:257-275 under the calc-flag quirk): nested AD of
+        the touchdown height.  Split out so the channel-last linearizer
+        can evaluate it at the P phase-terminal gridpoints only instead of
+        all T (it is exactly zero elsewhere: tc_id=0 makes _touchdown a
+        constant 0)."""
+        hfun = lambda xx: _touchdown(t_tcid, xx, ground_height)
+        h = hfun(x)
+        hx = jax.grad(hfun)(x)
+        hxx = jax.jacfwd(jax.grad(hfun))(x)
+        al_on = t_hasal * include_al_grad * al_gate
+        dphix = al_on * 50.0 * (sig * sig / 2.0 * hx * h + lam * hx)
+        dphixx = al_on * 50.0 * (
+            sig * sig / 2.0 * (LA.outer(hx, hx) + h * hxx) + lam * hxx
+        )
+        return dphix, dphixx
+
+    def _lin_step_base(x, u, y, fh, t_dynid, t_pidx, t_dt, t_contact,
+                       t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
+                       t_Cx, t_Cu, t_Cy, t_cb, t_cvalid,
+                       alreb, reb_on):
         step = lambda xx, uu: _step_dynamics(t_dynid, xx, uu, fh, t_contact, t_dt)
         A, Cm = jax.jacfwd(lambda xx: step(xx, u))(x)     # discrete A, dy/dx
         Bm, D = jax.jacfwd(lambda uu: step(x, uu))(u)
@@ -464,20 +482,25 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         lxx = lxx + LA.mm(t_Cx.T, w2[:, None] * t_Cx)
         luu = luu + LA.mm(t_Cu.T, w2[:, None] * t_Cu)
         lyy = lyy + LA.mm(t_Cy.T, w2[:, None] * t_Cy)
-        # terminal cost gradient (+ AL terms under the calc-flag quirk)
+        # terminal cost gradient (AL terms added by the caller / _lin_step)
         phix = t_qfw * (x - t_refx)
         phixx = jnp.diag(t_qfw)
-        hfun = lambda xx: _touchdown(t_tcid, xx, ground_height)
-        h = hfun(x)
-        hx = jax.grad(hfun)(x)
-        hxx = jax.jacfwd(jax.grad(hfun))(x)
-        sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
-        al_on = t_hasal * include_al_grad * al_gate
-        phix = phix + al_on * 50.0 * (sig * sig / 2.0 * hx * h + lam * hx)
-        phixx = phixx + al_on * 50.0 * (
-            sig * sig / 2.0 * (LA.outer(hx, hx) + h * hxx) + lam * hxx
-        )
         return A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx
+
+    def _lin_step(x, u, y, fh, t_dynid, t_pidx, t_dt, t_contact,
+                  t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
+                  t_Cx, t_Cu, t_Cy, t_cb, t_cvalid, t_tcid, t_hasal,
+                  alreb, reb_on, include_al_grad):
+        outs = _lin_step_base(
+            x, u, y, fh, t_dynid, t_pidx, t_dt, t_contact, t_qw, t_rw,
+            t_sw, t_qfw, t_refx, t_refu, t_refy, t_Cx, t_Cu, t_Cy, t_cb,
+            t_cvalid, alreb, reb_on)
+        (A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx) = outs
+        sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
+        dphix, dphixx = _terminal_al_grads(x, t_tcid, t_hasal, sig, lam,
+                                           include_al_grad)
+        return (A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy,
+                phix + dphix, phixx + dphixx)
 
     def make_linearize():
         CH = _chunk_size(T, lin_chunk)
@@ -535,6 +558,95 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                             phixx=phixx, Px=Px)
 
         return lin
+
+    def make_linearize_cl():
+        """Batched linearization producing CHANNEL-LAST (T, ..., B) output
+        NATIVELY.  vmap(linearize, out_axes=-1) computes batch-major and
+        transposes at the end — the transiently materialized batch-major
+        (B, T, 14, 14) arrays tile-pad 10-32x and OOM a 16 GB chip at
+        B=1024 (2.8 GB of data -> ~30 GB padded).  Here the loop order is
+        exchanged: chunked lax.map over TIME outside, vmap over gridpoints
+        then vmap over batch-TRAILING inside, so every intermediate is
+        (CH, ..., B) with the batch on the lane axis — compact end to end.
+        """
+        CH = _chunk_size(T, lin_chunk)
+        # batch axis (trailing) vmap of the per-(gridpoint, lane) step:
+        # traj/foothold/ref_x are per-lane (-1), plan-derived operands are
+        # lane-independent (None), AL/ReB state is lane-major (0).  The
+        # main sweep runs WITHOUT the terminal-AL nested AD (zero at all
+        # non-terminal gridpoints); that part is evaluated separately at
+        # the P phase-terminal gridpoints below — 8 evaluations instead of
+        # 720 of a grad + forward-over-reverse Hessian.
+        step_b = jax.vmap(
+            _lin_step_base,
+            in_axes=(-1, -1, -1, -1) + (None,) * 8 + (-1,) + (None,) * 7
+            + (0, 0),
+            out_axes=-1)
+        # gridpoint axis vmap (within a time chunk)
+        step_cb = jax.vmap(
+            step_b, in_axes=(0,) * 20 + (None, None), out_axes=0)
+        term_b = jax.vmap(  # over lanes (trailing) at one terminal point
+            _terminal_al_grads, in_axes=(-1, None, None, 0, 0, None),
+            out_axes=-1)
+        term_pb = jax.vmap(  # over the P phases
+            term_b, in_axes=(0, 0, 0, -1, -1, None), out_axes=0)
+
+        def lin_cl(plan, traj: FusedTraj, ref_x, alreb_b, reb_on_b,
+                   include_al_grad):
+            # traj leaves (T, ., B); ref_x (T, 14, B); alreb_b (B, ...)
+            Bb = traj.x.shape[-1]
+            x_starts = traj.x[plan.start_idx]      # (P, 14, B)
+            fh_p = jax.vmap(jax.vmap(
+                lambda x, st, ct: _plan_foothold_fused(
+                    x, st, ct, vel_cmd, ground_height),
+                in_axes=(-1, None, None), out_axes=-1,
+            ))(x_starts, plan.stance_time[plan.start_idx],
+               plan.contact[plan.start_idx])
+            fh_t = fh_p[plan.phase_idx]            # (T, 4, B)
+
+            per_t = (traj.x, traj.u, traj.y, fh_t,
+                     plan.dyn_id, plan.phase_idx, plan.dt, plan.contact,
+                     plan.qw, plan.rw, plan.sw, plan.qfw,
+                     ref_x, plan.ref_u, plan.ref_y,
+                     plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid)
+            chunked = jax.tree.map(
+                lambda a: a.reshape((T // CH, CH) + a.shape[1:]), per_t
+            )
+            outs = jax.lax.map(
+                lambda ch: step_cb(*ch, alreb_b, reb_on_b),
+                chunked,
+            )
+            outs = jax.tree.map(
+                lambda a: a.reshape((T,) + a.shape[2:]), outs
+            )
+            A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx = outs
+
+            # terminal-AL gradient/Hessian at the P phase-terminal
+            # gridpoints (exact zero everywhere else)
+            x_term = traj.x[plan.term_idx]         # (P, 14, B)
+            dphix, dphixx = term_pb(
+                x_term, plan.tc_id[plan.term_idx], plan.has_al,
+                alreb_b.sigma, alreb_b.lam, include_al_grad)
+            phix = phix.at[plan.term_idx].add(dphix)
+            phixx = phixx.at[plan.term_idx].add(dphixx)
+
+            def trans_jac(x, trans_id, do_proj):
+                Px = jax.jacfwd(lambda xx: _transition(trans_id, xx))(x)
+                SPx = LA.mm(_proj_matrix(x.dtype), Px)
+                return jnp.where(do_proj > 0, SPx, Px)
+
+            sidx_next = plan.start_idx[1:]
+            x_terms = traj.x[plan.term_idx[:-1]]   # (P-1, 14, B)
+            Px_p = jax.vmap(jax.vmap(
+                trans_jac, in_axes=(-1, None, None), out_axes=-1,
+            ))(x_terms, plan.trans_id[sidx_next], plan.do_proj[sidx_next])
+            Px = jnp.zeros((T, XDIM, XDIM, Bb), traj.x.dtype)
+            Px = Px.at[sidx_next].set(Px_p)
+            return FusedLin(A=A, Bm=Bm, Cm=Cm, D=D, lx=lx, lu=lu, ly=ly,
+                            lxx=lxx, luu=luu, lyy=lyy, phix=phix,
+                            phixx=phixx, Px=Px)
+
+        return lin_cl
 
     # -------------------------------------------------------------- backward
     def backward(plan, lin: FusedLin, reg):
@@ -699,4 +811,5 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         rollout_p=_hp(rollout), rollout_V_p=_hp(rollout_V),
         linearize_p=_hp(linearize), backward_p=_hp(backward),
         backward_cl_p=_hp(backward_cl),
+        linearize_cl_p=_hp(make_linearize_cl()),
         specs=specs, n_phases=P, T=T)

@@ -1,28 +1,26 @@
-"""Batch-native multi-phase HSDDP solve with pluggable backward backend.
+"""Batch-native multi-phase HSDDP solve (all-in-one-jit mirror).
 
 `fused_hsddp.build_fused_solver` maps per-scenario control flow through
 `vmap(solve)` — semantically a batch-synchronous masked program, which is
 exactly what JAX's while/fori batching rules produce.  This module writes
 that batched program EXPLICITLY, with the batch axis as a real axis of the
-solver state.  Two reasons:
+solver state: per-lane scalars (regularization, line-search step, done
+flags) become (B,) arrays with explicit `where` masking — the "solve all
+lanes to the worst lane's iteration count" cost model of SURVEY.md §7 made
+visible.  It serves as the cross-validation mirror for the production
+staged engine (solver/staged.py): identical update equations and
+control-flow thresholds as fused_hsddp.py / the reference
+(MultiPhaseDDP.cpp:154-289), batch-major layouts throughout.
 
-  1. the Pallas backward kernel (ops/riccati_pallas.py) consumes the whole
-     batch in one `pallas_call` — it cannot sit under `vmap`;
-  2. per-lane scalars (regularization, line-search step, done flags) become
-     (B,) arrays with explicit `where` masking — the "solve all lanes to the
-     worst lane's iteration count" cost model of SURVEY.md §7 made visible.
-
-backward="xla" reproduces vmap(fused.backward) numerics exactly (same ops);
-backward="pallas" uses the fused TPU kernel (f32).  Control-flow thresholds
-and update schedules are identical to fused_hsddp.py / the reference
-(MultiPhaseDDP.cpp:154-289).
+(The round-1/2 Pallas backward option was deleted in round 3: the
+channel-last XLA backward in the staged engine delivers the layout win the
+kernel was designed for, and works in f64 — see PERF.md §7.)
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.riccati_pallas import backward_batched_pallas, segment_plan_of
 from ..types import HSDDPOptions
 from .fused import (
     FusedALReB, FusedCTG, FusedLin, XDIM,
@@ -42,28 +40,16 @@ def bwhere(mask_b, a, b):
 
 def build_fused_solver_batched(specs, opt: HSDDPOptions, vel_cmd,
                                ground_height, height_cmd=0.0,
-                               dtype=jnp.float64, lin_chunk: int = 48,
-                               backward: str = "xla", b_tile: int = 512,
-                               interpret: bool = False):
+                               dtype=jnp.float64, lin_chunk: int = 48):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult with (B, ...)
-    leaves.  With backward="xla" this computes exactly what
-    vmap(fused_hsddp.solve) computes."""
+    leaves.  Computes exactly what vmap(fused_hsddp.solve) computes."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk)
     plan = eng["plan"]
-    seg = segment_plan_of(plan)
     P, T = eng["n_phases"], eng["T"]
     alreb0 = initial_fused_alreb(specs, dtype)
 
-    if backward == "pallas":
-        def backward_b(lin_b, reg_b):
-            ok, dV, ctg = backward_batched_pallas(seg, lin_b, reg_b,
-                                                  b_tile=b_tile,
-                                                  interpret=interpret)
-            return ok, dV.astype(dtype), jax.tree.map(
-                lambda a: a.astype(dtype), ctg)
-    else:
-        backward_b = jax.vmap(eng["backward"], in_axes=(0, 0))
+    backward_b = jax.vmap(eng["backward"], in_axes=(0, 0))
 
     def zeros_b(B, *shape):
         return jnp.zeros((B,) + shape, dtype)

@@ -58,9 +58,8 @@ def _where_last(mask, x, y):
 
 def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
-                        backward: str = "cl", b_tile: int = 512,
-                        interpret: bool = False, acc_dtype=None,
-                        monitor=None, ls_fastpath: int = 2):
+                        backward: str = "cl", acc_dtype=None,
+                        monitor=None, ls_fastpath: int = 4):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
     identical to fused_hsddp_batched.build_fused_solver_batched.
 
@@ -75,16 +74,14 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     ('ls') and backward retry ('bwd') — used by tools/decision_slack.py to
     measure how close each accept decision sits to its threshold.
 
-    ls_fastpath: K >= 1 evaluates the first K line-search step sizes as
-    FULL rollouts and selects per lane, falling back to the complete
-    11-candidate sweep only when some live lane rejects all K (one scalar
-    host sync per DDP iteration decides).  Semantics are EXACTLY the
-    reference's sequential backtracking (MultiPhaseDDP.cpp:130-151): the
-    fallback recomputes every candidate, and measured decision slacks are
-    ~1e4x the accept threshold noise (tools/decision_slack.py).  Measured
-    eps-acceptance in the default workload is always within {1, 0.1}, so
-    the common path does 2 rollouts instead of 11 cost rollouts + 1 full.
-    0 disables (always the full sweep)."""
+    ls_fastpath: K >= 1 probes only the first K line-search step sizes
+    (cost-only rollouts), falling back to the complete candidate sweep
+    when some live lane rejects all K (one scalar host sync per DDP
+    iteration decides).  Semantics are EXACTLY the reference's sequential
+    backtracking (MultiPhaseDDP.cpp:130-151): first-accepted-in-sequence
+    is selected either way, the fallback recomputes every candidate, and
+    measured decision slacks are ~1e4x the accept threshold noise
+    (tools/decision_slack.py).  0 disables (always the full sweep)."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk,
                             acc_dtype=acc_dtype)
@@ -102,40 +99,42 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     eps_all = jnp.asarray(np.asarray(eps_list), dtype)
     L = len(eps_list)
 
-    # channel-last mode (default): linearization + cost-to-go arrays are
-    # stored (T, rows, cols, B) with batch on the TPU lane axis — compact
-    # tiling instead of the 10-32x padding batch-major small matrices pay
-    # (see ops/linalg.py channel-last section / fused.backward_cl)
+    # channel-last mode (default): every (T, ...)-shaped per-gridpoint
+    # array — linearization, cost-to-go, trajectories, references — is
+    # stored (T, rows[, cols], B) with batch on the TPU lane axis.  The
+    # minor two dims tile to (8 x 128) vregs, so batch-major (B, T, r, c)
+    # small matrices pad 10-32x (measured: 32.7 GB for 2.8 GB of lin data,
+    # OOM at B=1024; 360 MB for 40 MB of trajectory); channel-last pads
+    # ~1.1x (see ops/linalg.py channel-last section / fused.backward_cl).
+    # Per-lane scalars (V, viol, h, cost, reg, flags) stay (B,)-major.
     cl = backward == "cl"
     ctg_ax = -1 if cl else 0
+    traj_ax = FusedTraj(x=ctg_ax, u=ctg_ax, y=ctg_ax, V=0, h=0, viol=0)
 
     # ------------------------------------------------------ jitted stages
     # `plan` rides through every stage as a (vmap-broadcast) argument so one
     # compiled graph serves all same-shaped plans — see make_fused_engine.
     rollout_b = jax.jit(jax.vmap(
         eng["rollout_p"],
-        in_axes=(None, 0, 0, 0, ctg_ax, 0, 0, 0, 0, None)))
+        in_axes=(None, 0, ctg_ax, ctg_ax, ctg_ax, 0, ctg_ax, 0, 0, None),
+        out_axes=traj_ax))
     # (B, L) cost-only rollouts: inner vmap over eps, outer over the batch
     rollout_V_be = jax.jit(jax.vmap(
         jax.vmap(eng["rollout_V_p"],
                  in_axes=(None, None, None, None, None, 0, None, None, None,
                           None)),
-        in_axes=(None, 0, 0, 0, ctg_ax, None, 0, 0, 0, None)))
-    linearize_b = jax.jit(jax.vmap(
-        eng["linearize_p"], in_axes=(None, 0, 0, 0, 0, None),
-        out_axes=(-1 if cl else 0)))
+        in_axes=(None, 0, ctg_ax, ctg_ax, ctg_ax, None, ctg_ax, 0, 0,
+                 None)))
+    if cl:
+        # natively channel-last: vmap(out_axes=-1) would materialize the
+        # padded batch-major intermediate before transposing (OOM at
+        # B=1024) — see fused.make_linearize_cl
+        linearize_b = jax.jit(eng["linearize_cl_p"])
+    else:
+        linearize_b = jax.jit(jax.vmap(
+            eng["linearize_p"], in_axes=(None, traj_ax, ctg_ax, 0, 0, None)))
 
-    if backward == "pallas":
-        from ..ops.riccati_pallas import backward_batched_pallas, segment_plan_of
-
-        seg = segment_plan_of(plan)
-
-        def backward_b(_plan, lin_b, reg_b):
-            ok, dV, ctg = backward_batched_pallas(
-                seg, lin_b, reg_b, b_tile=b_tile, interpret=interpret)
-            return ok, dV.astype(dtype), jax.tree.map(
-                lambda a: a.astype(dtype), ctg)
-    elif cl:
+    if cl:
         backward_b = eng["backward_cl_p"]
     else:
         backward_b = jax.vmap(eng["backward_p"], in_axes=(None, 0, 0))
@@ -143,6 +142,16 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     def ctg_where(mask_b, a, b):
         sel = _where_last if cl else _where_first
         return jax.tree.map(lambda x, y: sel(mask_b, x, y), a, b)
+
+    def traj_where(mask_b, a: FusedTraj, b: FusedTraj):
+        sel = _where_last if cl else _where_first
+        return FusedTraj(
+            x=sel(mask_b, a.x, b.x), u=sel(mask_b, a.u, b.u),
+            y=sel(mask_b, a.y, b.y),
+            V=jnp.where(mask_b, a.V, b.V),
+            h=_where_first(mask_b, a.h, b.h),
+            viol=jnp.where(mask_b, a.viol, b.viol),
+        )
 
     def result_where(mask_b, a: FusedSolveResult, b: FusedSolveResult,
                      lin_out=None):
@@ -158,7 +167,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         wf = lambda ta, tb: jax.tree.map(
             lambda x, y: _where_first(mask_b, x, y), ta, tb)
         return FusedSolveResult(
-            nominal=wf(a.nominal, b.nominal),
+            nominal=traj_where(mask_b, a.nominal, b.nominal),
             ctg=ctg_where(mask_b, a.ctg, b.ctg),
             lin=b.lin if lin_out is None else lin_out,
             alreb=wf(a.alreb, b.alreb),
@@ -270,9 +279,10 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
             monitor("ls", dict(V_bl=V_bl, cost_prev=cost_prev_b,
                                dVexp=dVexp_b, eps=eps_sel,
                                accepted=accepted))
-        return bwhere(accepted, tr, nominal)
+        return traj_where(accepted, tr, nominal)
 
-    def _ddp_iteration(plan, x0_b, ref_x, st: FusedSolveResult, reb_on_b):
+    def _ddp_iteration(plan, x0_b, ref_x, st: FusedSolveResult, reb_on_b,
+                       need_lin=True):
         cost_prev = st.cost
         reg, aborted, ctg, dVexp = backward_retry_jit(
             plan, st.lin, st.ctg, st.reg)
@@ -282,8 +292,14 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         reg = jnp.where(reg < 1e-6, 0.0, reg)
         tr = line_search(plan, x0_b, st.nominal, ctg, ref_x, st.alreb,
                          reb_on_b, cost_prev, dVexp, st.aborted | aborted)
-        lin = linearize_b(plan, tr, ref_x, st.alreb, reb_on_b,
-                          jnp.zeros((), dtype))
+        # the reference re-linearizes after every line search
+        # (MultiPhaseDDP.cpp:262), including the last DDP iteration — whose
+        # output is then dead: the next AL iteration re-rolls and
+        # re-linearizes under the updated AL/ReB weights.  Skip the dead
+        # call (pure elided computation, ~12% of solve time; bit-identical
+        # results).
+        lin = (linearize_b(plan, tr, ref_x, st.alreb, reb_on_b,
+                           jnp.zeros((), dtype)) if need_lin else st.lin)
         out = st._replace(nominal=tr, ctg=ctg, lin=lin, cost=tr.V,
                           viol=tr.viol, reg=reg)
         converged = (cost_prev - tr.V) < opt.DDP_thresh
@@ -305,8 +321,10 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                             reg=jnp.zeros((B,), dtype))
 
         done = jnp.zeros((B,), bool)
-        for _ in range(opt.max_DDP_iter):
-            new_st, conv = _ddp_iteration(plan, x0_b, ref_x, st, reb_on_b)
+        for it in range(opt.max_DDP_iter):
+            new_st, conv = _ddp_iteration(
+                plan, x0_b, ref_x, st, reb_on_b,
+                need_lin=(it + 1 < opt.max_DDP_iter))
             active = (~done) & (~st.aborted)
             st = result_where(active, new_st, st, lin_out=new_st.lin)
             done = done | (active & (conv | new_st.aborted))
@@ -318,29 +336,32 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                       alreb0_=None):
         """Solve for a batch of initial states.
 
-        warm_x_b/warm_u_b: optional (B, T, .) nominal trajectories seeding
-        the solve (receding-horizon reuse; MHPCLocomotion.cpp:200-215 runs
-        the PD heuristic when absent).  plan_/alreb0_: alternate problem
-        plan + AL/ReB init of IDENTICAL shapes (e.g. another gait rotation)
-        — reuses every compiled stage graph.
+        warm_x_b/warm_u_b: optional nominal trajectories seeding the solve
+        (receding-horizon reuse; MHPCLocomotion.cpp:200-215 runs the PD
+        heuristic when absent) — channel-last (T, ., B) in the default cl
+        mode, (B, T, .) otherwise.  plan_/alreb0_: alternate problem plan
+        + AL/ReB init of IDENTICAL shapes (e.g. another gait rotation) —
+        reuses every compiled stage graph.
         """
         plan = plan_ if plan_ is not None else eng["plan"]
         a0 = alreb0_ if alreb0_ is not None else alreb0
         x0_b = jnp.asarray(x0_b, dtype)
         B = x0_b.shape[0]
-        ref_x = jax.vmap(lambda x: plan.ref_x.at[:, 0].add(x[0]))(x0_b)
+        ref_x = jax.vmap(lambda x: plan.ref_x.at[:, 0].add(x[0]),
+                         out_axes=(-1 if cl else 0))(x0_b)
         if cl:
-            ctg0 = FusedCTG(du=jnp.zeros((T, 4, B), dtype),
-                            Kfb=jnp.zeros((T, 4, XDIM, B), dtype),
-                            G=jnp.zeros((T, XDIM, B), dtype))
+            zc = lambda *s: jnp.zeros((T,) + s + (B,), dtype)
+            ctg0 = FusedCTG(du=zc(4), Kfb=zc(4, XDIM), G=zc(XDIM))
+            z_nomx, z_nomu = zc(XDIM), zc(4)
         else:
             ctg0 = FusedCTG(du=zeros_b(B, T, 4), Kfb=zeros_b(B, T, 4, XDIM),
                             G=zeros_b(B, T, XDIM))
+            z_nomx, z_nomu = zeros_b(B, T, XDIM), zeros_b(B, T, 4)
         alreb_b = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (B,) + a.shape), a0)
         zf = jnp.zeros((), dtype)
         if warm_x_b is None:
-            ws = rollout_b(plan, x0_b, zeros_b(B, T, XDIM), zeros_b(B, T, 4),
+            ws = rollout_b(plan, x0_b, z_nomx, z_nomu,
                            ctg0, jnp.zeros((B,), dtype), ref_x, alreb_b,
                            jnp.zeros((B,), dtype), jnp.ones((), dtype))
         else:
@@ -349,7 +370,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
             # update_nominal_trajectory handoff)
             ws = FusedTraj(
                 x=jnp.asarray(warm_x_b, dtype), u=jnp.asarray(warm_u_b, dtype),
-                y=zeros_b(B, T, 4), V=jnp.zeros((B,), adt),
+                y=(zc(4) if cl else zeros_b(B, T, 4)),
+                V=jnp.zeros((B,), adt),
                 h=jnp.zeros((B, P), adt), viol=jnp.zeros((B,), adt),
             )
         if cl:

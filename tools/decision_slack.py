@@ -77,7 +77,7 @@ def run_scheme(label, dtype, acc_dtype):
         upto = first + 1 if first >= 0 else len(eps_all)
         slacks.extend(np.abs(V - thr)[:upto].tolist())
         eps_seq.append(first)
-    ctrl = np.asarray(res.nominal.u[0]).reshape(-1, 4)
+    ctrl = np.asarray(res.nominal.u[..., 0]).reshape(-1, 4)
     g = np.load(os.path.join(os.path.dirname(_CACHE), "tests", "golden",
                              "reference_run.npz"))
     dev = float(np.nanmax(np.abs(ctrl - g["control"])))

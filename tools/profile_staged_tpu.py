@@ -60,7 +60,7 @@ def main():
     solve, eng = build_staged_solver(
         list(problem.specs), problem.opt, problem.vel_cmd,
         problem.ground_height, problem.height_cmd, dtype,
-        backward="pallas" if engine == "staged_pallas" else "xla",
+        acc_dtype=(jnp.float64 if dtype == jnp.float32 else None),
     )
     plan, T = eng["plan"], eng["T"]
 
@@ -89,7 +89,8 @@ def main():
     alreb0 = initial_fused_alreb(list(problem.specs), dtype)
     alreb_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
                            alreb0)
-    ref_x = jax.vmap(lambda x: plan.ref_x.at[:, 0].add(x[0]))(x0)
+    ref_x = jax.vmap(lambda x: plan.ref_x.at[:, 0].add(x[0]),
+                     out_axes=-1)(x0)  # channel-last, like the solve's
     zf = jnp.zeros((), dtype)
     eps0 = jnp.zeros((B,), dtype)
     reb0 = jnp.zeros((B,), dtype)

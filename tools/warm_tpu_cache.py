@@ -65,12 +65,13 @@ def main():
                      dtype)
     zb = lambda *s: jnp.zeros((B,) + s, dtype)
     zc = lambda *s: jnp.zeros((T,) + s + (B,), dtype)  # channel-last
-    nom_x, nom_u = zb(T, XDIM), zb(T, 4)
+    nom_x, nom_u = zc(XDIM), zc(4)
     ctg = FusedCTG(du=zc(4), Kfb=zc(4, XDIM), G=zc(XDIM))
     alreb0 = initial_fused_alreb(list(problem.specs), dtype)
     alreb_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape),
                            alreb0)
-    ref_x = jax.vmap(lambda x: plan.ref_x.at[:, 0].add(x[0]))(x0)
+    ref_x = jax.vmap(lambda x: plan.ref_x.at[:, 0].add(x[0]),
+                     out_axes=-1)(x0)
     zf = jnp.zeros((), dtype)
     epsb = zb()
     lin = FusedLin(
@@ -92,7 +93,7 @@ def main():
     ]
     from mhpc_minimal_env_tpu.solver.fused import FusedTraj
 
-    traj = FusedTraj(x=nom_x, u=nom_u, y=zb(T, 4),
+    traj = FusedTraj(x=nom_x, u=nom_u, y=zc(4),
                      V=jnp.zeros((B,), acc_dtype or dtype),
                      h=jnp.zeros((B, P), acc_dtype or dtype),
                      viol=jnp.zeros((B,), acc_dtype or dtype))
