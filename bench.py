@@ -194,8 +194,8 @@ PRIMARY = [  # f64: the SLO-meeting fidelity path (headline)
       "MHPC_BENCH_REPS": "1"}, 150),
 ]
 SECONDARY = [  # f32: production-throughput point (reported as f32_*)
-    ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "512"}, 280),
-    ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "256"}, 160),
+    ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "1024"}, 280),
+    ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "512"}, 200),
 ]
 
 

@@ -67,7 +67,8 @@ def _run_staged(problem, dtype, B: int = 1, reps: int = 3,
 
     solve, _ = build_staged_solver(
         list(problem.specs), problem.opt, problem.vel_cmd,
-        problem.ground_height, problem.height_cmd, dtype)
+        problem.ground_height, problem.height_cmd, dtype,
+        acc_dtype=(jnp.float64 if dtype == jnp.float32 else None))
     x0 = jnp.asarray(_perturbed_x0(B, golden_lane0=golden_lane0), dtype)
     res = solve(x0)
     res.cost.block_until_ready()
@@ -208,7 +209,9 @@ def run_batched_mpc(B: int = 1024, n_cycles: int = 4, dtype=None,
     from .runtime.mpc import RecedingHorizonMPC
 
     dtype = dtype or jnp.float64
-    mpc = RecedingHorizonMPC(opt=opt or HSDDPOptions(), dtype=dtype)
+    acc = jnp.float64 if dtype == jnp.float32 else None
+    mpc = RecedingHorizonMPC(opt=opt or HSDDPOptions(), dtype=dtype,
+                             acc_dtype=acc)
     x0 = _perturbed_x0(B)
     # compile all cycle modes once
     warm = mpc.run_batched(x0, n_cycles=min(n_cycles, 4))
@@ -218,14 +221,23 @@ def run_batched_mpc(B: int = 1024, n_cycles: int = 4, dtype=None,
     out[-1].cost.block_until_ready()
     dtime = time.time() - t0
     solves = B * n_cycles
+    alive = np.asarray(out[-1].alive)
+    cost = np.asarray(out[-1].cost)[alive]
+    viol = np.asarray(out[-1].viol)[alive]
+    stat = lambda a, f: float(f(a)) if a.size else float("nan")
     return {
         "config": "batched_mpc",
         "value": round(solves / dtime, 2),
         "unit": "solves/s",
         "batch": B,
         "cycles": n_cycles,
-        "mean_final_cost": float(np.mean(np.asarray(out[-1].cost))),
-        "max_final_viol": float(np.max(np.asarray(out[-1].viol))),
+        "alive_lanes": int(alive.sum()),
+        # median/p90: the fleet cost distribution is heavy-tailed (a few
+        # hard perturbed scenarios dominate a mean)
+        "median_final_cost": stat(cost, np.median),
+        "p90_final_cost": stat(cost, lambda a: np.percentile(a, 90)),
+        "median_final_viol": stat(viol, np.median),
+        "max_final_viol": stat(viol, np.max),
     }
 
 
@@ -235,11 +247,16 @@ def run_batched_mpc(B: int = 1024, n_cycles: int = 4, dtype=None,
 
 def run_pod_sweep(n_scenarios: int = 8192, dtype=None,
                   n_devices: int | None = None,
-                  opt: HSDDPOptions | None = None) -> Dict:
+                  opt: HSDDPOptions | None = None,
+                  chunk: int = 1024) -> Dict:
     """Scenario sweep sharded over the device mesh, staged engine: the
     jitted stage programs SPMD-partition along the sharded batch axis, and
     fleet metrics psum over the mesh (shard_map on the RESULT arrays —
-    the staged orchestration itself stays on the host)."""
+    the staged orchestration itself stays on the host).
+
+    The sweep streams in device-resident chunks of ``chunk * n_dev`` lanes
+    (HBM bounds the per-solve batch at ~1k lanes/chip in f32), so 8k
+    scenarios run on a single chip and scale out with the mesh."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -248,43 +265,68 @@ def run_pod_sweep(n_scenarios: int = 8192, dtype=None,
     from .solver.staged import build_staged_solver
 
     dtype = dtype or jnp.float64
+    acc = jnp.float64 if dtype == jnp.float32 else None
     problem = default_problem(opt=opt or HSDDPOptions())
     solve, _ = build_staged_solver(
         list(problem.specs), problem.opt, problem.vel_cmd,
-        problem.ground_height, problem.height_cmd, dtype)
+        problem.ground_height, problem.height_cmd, dtype, acc_dtype=acc)
     mesh = make_mesh(n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
-    B = (n_scenarios // n_dev) * n_dev
-    x0 = shard_batch(jnp.asarray(_perturbed_x0(B), dtype=dtype), mesh)
-    res = solve(x0)  # compile + run
-    res.cost.block_until_ready()
-    t0 = time.time()
-    res = solve(x0)
-    res.cost.block_until_ready()
-    dtime = time.time() - t0
+    Bc = min(chunk, max(1, n_scenarios // n_dev)) * n_dev
+    n_chunks = max(1, n_scenarios // Bc)
+    B = Bc * n_chunks
 
     def metrics_fn(cost, viol, aborted):
         n = jax.lax.psum(jnp.asarray(cost.shape[0], cost.dtype), "batch")
         return dict(
-            mean_cost=jax.lax.psum(jnp.sum(cost), "batch") / n,
+            sum_cost=jax.lax.psum(jnp.sum(cost), "batch"),
+            n=n,
             worst_violation=jax.lax.pmax(jnp.max(viol), "batch"),
             aborted=jax.lax.psum(jnp.sum(aborted.astype(jnp.int32)),
                                  "batch"),
         )
 
-    metrics = jax.jit(jax.shard_map(
+    metrics_j = jax.jit(jax.shard_map(
         metrics_fn, mesh=mesh,
         in_specs=(P("batch"), P("batch"), P("batch")), out_specs=P(),
         check_vma=False,
-    ))(res.cost, res.viol, res.aborted)
+    ))
+
+    def sweep():
+        agg = dict(sum_cost=0.0, n=0.0, worst_violation=0.0, aborted=0)
+        for c in range(n_chunks):
+            x0 = shard_batch(
+                jnp.asarray(_perturbed_x0(Bc, seed=c), dtype=dtype), mesh)
+            res = solve(x0)
+            # fleet statistics in f32: the TPU backend lowers only SUM
+            # all-reduces in f64 (pmax would fail to compile)
+            m = metrics_j(res.cost.astype(jnp.float32),
+                          res.viol.astype(jnp.float32), res.aborted)
+            agg["sum_cost"] += float(m["sum_cost"])
+            agg["n"] += float(m["n"])
+            agg["worst_violation"] = max(agg["worst_violation"],
+                                         float(m["worst_violation"]))
+            agg["aborted"] += int(m["aborted"])
+        return agg
+
+    sweep()  # compile + warm
+    t0 = time.time()
+    agg = sweep()
+    dtime = time.time() - t0
     return {
         "config": "pod_sweep",
         "value": round(B / dtime, 2),
         "unit": "solves/s",
         "engine": "staged",
+        "dtype": jnp.dtype(dtype).name,
         "scenarios": B,
+        "chunk": Bc,
         "devices": n_dev,
-        "fleet_metrics": {k: float(v) for k, v in metrics.items()},
+        "fleet_metrics": {
+            "mean_cost": agg["sum_cost"] / agg["n"],
+            "worst_violation": agg["worst_violation"],
+            "aborted": agg["aborted"],
+        },
     }
 
 

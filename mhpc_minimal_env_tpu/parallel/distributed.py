@@ -122,9 +122,38 @@ def sharded_metrics_2d(solve_single, mesh: Mesh):
     return jax.jit(fn)
 
 
+def result_metrics_2d(mesh: Mesh):
+    """Fleet metrics from already-computed per-lane RESULT arrays, with the
+    hierarchical psum (ici first, then dcn).  Works with the staged engine,
+    whose orchestration runs on the host and cannot sit inside shard_map —
+    only the reductions do."""
+    def metrics_fn(cost, viol, aborted):
+        axes = (ICI_AXIS, DCN_AXIS)
+        # f32 reductions: the TPU backend lowers only SUM all-reduces in
+        # f64 (a f64 pmax fails to compile); fleet stats don't need f64
+        cost = cost.astype(jnp.float32)
+        viol = viol.astype(jnp.float32)
+        n = jax.lax.psum(jnp.asarray(cost.shape[0], cost.dtype), axes)
+        return dict(
+            mean_cost=jax.lax.psum(jnp.sum(cost), axes) / n,
+            worst_violation=jax.lax.pmax(jnp.max(viol), axes),
+            aborted=jax.lax.psum(jnp.sum(aborted.astype(jnp.int32)), axes),
+        )
+
+    fn = jax.shard_map(
+        metrics_fn, mesh=mesh,
+        in_specs=(P((DCN_AXIS, ICI_AXIS)),) * 3, out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def pod_sweep_distributed(B_global: int, dtype=None, opt=None,
                           x0_scale: float = 0.01, seed: int = 0):
-    """BASELINE config 5 at N>=2 hosts: sharded sweep + fleet metrics.
+    """BASELINE config 5 at N>=2 hosts: sharded sweep + fleet metrics on
+    the production staged engine (stage programs SPMD-partition along the
+    (dcn, ici)-sharded batch; the host orchestration is identical on every
+    process, as single-controller JAX requires).
 
     Every process calls this after :func:`initialize`; returns (per-process
     wall time of the solve, replicated fleet metrics dict).
@@ -133,10 +162,15 @@ def pod_sweep_distributed(B_global: int, dtype=None, opt=None,
 
     import jax.numpy as jnp_
 
-    from ..runtime.locomotion import MHPCLocomotion, X0_DEFAULT
+    from ..runtime.locomotion import X0_DEFAULT, default_problem
+    from ..solver.staged import build_staged_solver
+    from ..types import HSDDPOptions
 
     dtype = dtype or jnp_.float64
-    loco = MHPCLocomotion(dtype=dtype)
+    problem = default_problem(opt=opt or HSDDPOptions())
+    solve, _ = build_staged_solver(
+        list(problem.specs), problem.opt, problem.vel_cmd,
+        problem.ground_height, problem.height_cmd, dtype)
     mesh = make_host_mesh()
 
     def rows(lo, hi):
@@ -147,13 +181,12 @@ def pod_sweep_distributed(B_global: int, dtype=None, opt=None,
         return out
 
     x0 = host_local_batch(rows, B_global, mesh, dtype=dtype)
-    run = sharded_solve_2d(loco.single, mesh)
-    res = run(x0)
+    res = solve(x0)
     res.cost.block_until_ready()
     t0 = time.time()
-    res = run(x0)
+    res = solve(x0)
     res.cost.block_until_ready()
     dt = time.time() - t0
-    metrics = {k: float(v)
-               for k, v in sharded_metrics_2d(loco.single, mesh)(x0).items()}
+    metrics = {k: float(v) for k, v in result_metrics_2d(mesh)(
+        res.cost, res.viol, res.aborted).items()}
     return dt, metrics

@@ -52,6 +52,7 @@ class MPCCycleResult(NamedTuple):
     viol: jnp.ndarray
     warm_x: jnp.ndarray       # rotated warm start for the next cycle
     warm_u: jnp.ndarray
+    alive: jnp.ndarray = None  # (B,) lanes not frozen by failure isolation
 
 
 def _rotation_permutation(specs_now, specs_next, n_wb):
@@ -156,9 +157,18 @@ class RecedingHorizonMPC:
         dispatches the staged solve (stage graphs shared across modes) plus
         one small jitted execute+rotate program; the batch stays
         device-resident between cycles.  This is the «batched MPC»
-        production config (BASELINE.json config 4)."""
+        production config (BASELINE.json config 4).
+
+        Per-lane failure isolation: a lane whose solve aborts (the
+        regularization ladder's hard abort, MultiPhaseDDP.cpp:221-226) or
+        whose plant state goes non-finite is FROZEN — its plant state
+        stops advancing and it is excluded from subsequent statistics via
+        the returned `alive` mask — so one diverged scenario cannot
+        poison fleet metrics or its own downstream cycles with NaNs."""
         x = jnp.asarray(x0_batch, dtype=self.dtype)
+        B = x.shape[0]
         warm_x = warm_u = None
+        alive = jnp.ones((B,), bool)
         out = []
         for _ in range(n_cycles):
             res = self._solve(x, warm_x, warm_u,
@@ -166,10 +176,13 @@ class RecedingHorizonMPC:
                               alreb0_=self._alreb0[cmode])
             x_next, xs, us, warm_x, warm_u = self._tails_b[cmode](
                 x, res.nominal.x, res.nominal.u, res.ctg.Kfb)
+            bad = res.aborted | ~jnp.all(jnp.isfinite(x_next), axis=-1)
+            alive = alive & ~bad
+            x_next = jnp.where(alive[:, None], x_next, x)
             out.append(MPCCycleResult(
                 x_next=x_next, x_exec=xs, u_exec=us,
                 cost=res.cost, viol=res.viol,
-                warm_x=warm_x, warm_u=warm_u,
+                warm_x=warm_x, warm_u=warm_u, alive=alive,
             ))
             x = x_next
             cmode = G.next_mode(cmode)

@@ -351,73 +351,87 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
     # driver swaps plans per cycle without recompiling.  The engine dict
     # also exposes partial-bound versions (this problem's plan) under the
     # unsuffixed names for single-problem use.
-    def _rollout_impl(plan, x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x,
-                      alreb: FusedALReB, reb_on, use_pd, with_traj=True):
-        def body(carry, inp):
-            x, fh, V, hacc = carry
-            (t_isdyn, t_isterm, t_isstart, t_dynid, t_transid, t_doproj,
-             t_tcid, t_pidx, t_wb, t_dt, t_contact, t_planfh, t_stime,
-             t_pdgain, t_qw, t_rw, t_sw, t_qfw, t_refx, t_refu, t_refy,
-             t_Cx, t_Cu, t_Cy, t_cb, t_cvalid,
-             t_nomx, t_nomu, t_du, t_K) = inp
+    def _lane_step(x, fh, V, hacc, eps, reb_on, alreb, t_refx,
+                   t_nomx, t_nomu, t_du, t_K, psl, has_al_t, use_pd):
+        """One per-lane gridpoint step of the forward sweep (the body of
+        SinglePhase::forward_sweep, SinglePhase.cpp:62-180 + the phase
+        seams of MultiPhaseDDP.cpp:350-379).  Pure function of one lane's
+        state so the channel-last rollout can vmap it over lanes inside
+        the scan (batch on the trailing axis)."""
+        (t_isdyn, t_isterm, t_isstart, t_dynid, t_transid, t_doproj,
+         t_tcid, t_pidx, t_wb, t_dt, t_contact, t_planfh, t_stime,
+         t_pdgain, t_qw, t_rw, t_sw, t_qfw, t_refu, t_refy,
+         t_Cx, t_Cu, t_Cy, t_cb, t_cvalid) = psl
 
-            # phase-start: reset map + projection
-            x = jax.lax.cond(
-                t_isstart > 0,
-                lambda xx: _project(_transition(t_transid, xx), t_doproj),
-                lambda xx: xx,
-                x,
-            )
-            # foothold planning (FB stance phase starts)
-            fh_new = _plan_foothold_fused(x, t_stime, t_contact, vel_cmd,
-                                          ground_height)
-            fh = jnp.where(t_planfh > 0, fh_new, fh)
+        # phase-start: reset map + projection
+        x = jax.lax.cond(
+            t_isstart > 0,
+            lambda xx: _project(_transition(t_transid, xx), t_doproj),
+            lambda xx: xx,
+            x,
+        )
+        # foothold planning (FB stance phase starts)
+        fh_new = _plan_foothold_fused(x, t_stime, t_contact, vel_cmd,
+                                      ground_height)
+        fh = jnp.where(t_planfh > 0, fh_new, fh)
 
-            # control
-            u_pol = t_nomu + eps * t_du + LA.mv(t_K, x - t_nomx)
-            u = jnp.where(use_pd > 0,
-                          _pd_policy(x, t_contact, t_pdgain, t_wb), u_pol)
-            u = u * t_isdyn
+        # control
+        u_pol = t_nomu + eps * t_du + LA.mv(t_K, x - t_nomx)
+        u = jnp.where(use_pd > 0,
+                      _pd_policy(x, t_contact, t_pdgain, t_wb), u_pol)
+        u = u * t_isdyn
 
-            # dynamics
-            x_next, y = _step_dynamics(t_dynid, x, u, fh, t_contact, t_dt)
-            y = y * t_isdyn
+        # dynamics
+        x_next, y = _step_dynamics(t_dynid, x, u, fh, t_contact, t_dt)
+        y = y * t_isdyn
 
-            # running cost + ReB barrier
-            l = C.running_cost(x, u, y, t_refx, t_refu, t_refy,
-                               t_qw, t_rw, t_sw, t_dt)
-            g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
-            g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
-            Bv, _, _ = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
-            l = l + reb_on * jnp.sum(alreb.eps_reb[t_pidx] * Bv * t_cvalid) * t_dt
-            V = V + (t_isdyn * l).astype(acc_dtype)
+        # running cost + ReB barrier
+        l = C.running_cost(x, u, y, t_refx, t_refu, t_refy,
+                           t_qw, t_rw, t_sw, t_dt)
+        g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
+        g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
+        Bv, _, _ = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
+        l = l + reb_on * jnp.sum(alreb.eps_reb[t_pidx] * Bv * t_cvalid) * t_dt
+        V = V + (t_isdyn * l).astype(acc_dtype)
 
-            # terminal cost + AL penalty + switching constraint
-            phi = C.terminal_cost(x, t_refx, t_qfw)
-            h = _touchdown(t_tcid, x, ground_height)
-            sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
-            phi = phi + plan.has_al[t_pidx] * (50.0 * al_gate) * (
-                (sig * h / 2.0) ** 2 + lam * h
-            )
-            V = V + (t_isterm * phi).astype(acc_dtype)
-            hacc = hacc + jnp.zeros_like(hacc).at[t_pidx].set(
-                (t_isterm * h).astype(acc_dtype))
+        # terminal cost + AL penalty + switching constraint
+        phi = C.terminal_cost(x, t_refx, t_qfw)
+        h = _touchdown(t_tcid, x, ground_height)
+        sig, lam = alreb.sigma[t_pidx], alreb.lam[t_pidx]
+        phi = phi + has_al_t * (50.0 * al_gate) * (
+            (sig * h / 2.0) ** 2 + lam * h
+        )
+        V = V + (t_isterm * phi).astype(acc_dtype)
+        hacc = hacc + jnp.zeros_like(hacc).at[t_pidx].set(
+            (t_isterm * h).astype(acc_dtype))
 
-            x_store = x * jnp.where(use_pd > 0, t_wb, jnp.ones((), x.dtype))
-            x_carry = jnp.where(t_isdyn > 0, x_next, x)
-            out = (x_store, u, y) if with_traj else None
-            return (x_carry, fh, V, hacc), out
+        x_store = x * jnp.where(use_pd > 0, t_wb, jnp.ones((), x.dtype))
+        x_carry = jnp.where(t_isdyn > 0, x_next, x)
+        return x_carry, fh, V, hacc, (x_store, u, y)
 
-        inputs = (
+    def _plan_scan_fields(plan):
+        return (
             plan.is_dyn, plan.is_term, plan.is_start, plan.dyn_id,
             plan.trans_id, plan.do_proj, plan.tc_id, plan.phase_idx,
             plan.wb_mask, plan.dt, plan.contact, plan.plan_fh,
             plan.stance_time, plan.pd_gain,
             plan.qw, plan.rw, plan.sw, plan.qfw,
-            ref_x, plan.ref_u, plan.ref_y,
+            plan.ref_u, plan.ref_y,
             plan.Cx, plan.Cu, plan.Cy, plan.cb, plan.c_valid,
-            nom_x, nom_u, ctg.du, ctg.Kfb,
         )
+
+    def _rollout_impl(plan, x0, nom_x, nom_u, ctg: FusedCTG, eps, ref_x,
+                      alreb: FusedALReB, reb_on, use_pd, with_traj=True):
+        def body(carry, inp):
+            x, fh, V, hacc = carry
+            t_refx, t_nomx, t_nomu, t_du, t_K, psl, t_hasal = inp
+            x_carry, fh, V, hacc, outs = _lane_step(
+                x, fh, V, hacc, eps, reb_on, alreb, t_refx,
+                t_nomx, t_nomu, t_du, t_K, psl, t_hasal, use_pd)
+            return (x_carry, fh, V, hacc), (outs if with_traj else None)
+
+        inputs = (ref_x, nom_x, nom_u, ctg.du, ctg.Kfb,
+                  _plan_scan_fields(plan), plan.has_al[plan.phase_idx])
         init = (x0, jnp.zeros(4, dtype=x0.dtype),
                 jnp.zeros((), dtype=acc_dtype), jnp.zeros(P, dtype=acc_dtype))
         (_, _, V, hacc), outs = jax.lax.scan(body, init, inputs)
@@ -438,6 +452,55 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                   use_pd):
         return _rollout_impl(plan, x0, nom_x, nom_u, ctg, eps, ref_x, alreb,
                              reb_on, use_pd, with_traj=False)
+
+    # batch-trailing vmap of the lane step, for the channel-last rollout:
+    # lane state / per-lane operands on axis -1 (or 0 for (B,)-major
+    # scalars and the AL/ReB tree), plan scalars shared
+    _lane_step_v = jax.vmap(
+        _lane_step,
+        in_axes=(-1, -1, 0, 0, 0, 0, 0, -1, -1, -1, -1, -1, None, None,
+                 None),
+        out_axes=(-1, -1, 0, 0, (-1, -1, -1)))
+
+    def _rollout_impl_cl(plan, x0_b, nom_x, nom_u, ctg: FusedCTG, eps_b,
+                         ref_x, alreb_b, reb_on_b, use_pd, with_traj=True):
+        """Batched rollout with CHANNEL-LAST trajectories natively:
+        x0_b (B, 14); nom_x/ref_x (T, 14, B); nom_u/ctg.du (T, 4, B);
+        ctg.Kfb (T, 4, 14, B); eps_b/reb_on_b (B,); alreb_b lane-major.
+        vmap-inside-scan, so the stacked outputs are (T, ., B) compact —
+        vmap(rollout, out_axes=-1) would stack batch-major (9-32x tile
+        padding) and transpose after (see make_linearize_cl)."""
+        B = x0_b.shape[0]
+
+        def body(carry, inp):
+            x, fh, V, hacc = carry
+            t_refx, t_nomx, t_nomu, t_du, t_K, psl, t_hasal = inp
+            x_carry, fh, V, hacc, outs = _lane_step_v(
+                x, fh, V, hacc, eps_b, reb_on_b, alreb_b, t_refx,
+                t_nomx, t_nomu, t_du, t_K, psl, t_hasal, use_pd)
+            return (x_carry, fh, V, hacc), (outs if with_traj else None)
+
+        inputs = (ref_x, nom_x, nom_u, ctg.du, ctg.Kfb,
+                  _plan_scan_fields(plan), plan.has_al[plan.phase_idx])
+        init = (x0_b.T, jnp.zeros((4, B), dtype=x0_b.dtype),
+                jnp.zeros((B,), dtype=acc_dtype),
+                jnp.zeros((B, P), dtype=acc_dtype))
+        (_, _, V, hacc), outs = jax.lax.scan(body, init, inputs)
+        viol = jnp.sqrt(jnp.sum(hacc**2, axis=-1))
+        if not with_traj:
+            return V, hacc, viol
+        xs, us, ys = outs
+        return FusedTraj(x=xs, u=us, y=ys, V=V, h=hacc, viol=viol)
+
+    def rollout_cl(plan, x0_b, nom_x, nom_u, ctg, eps_b, ref_x, alreb_b,
+                   reb_on_b, use_pd):
+        return _rollout_impl_cl(plan, x0_b, nom_x, nom_u, ctg, eps_b, ref_x,
+                                alreb_b, reb_on_b, use_pd, with_traj=True)
+
+    def rollout_V_cl(plan, x0_b, nom_x, nom_u, ctg, eps_b, ref_x, alreb_b,
+                     reb_on_b, use_pd):
+        return _rollout_impl_cl(plan, x0_b, nom_x, nom_u, ctg, eps_b, ref_x,
+                                alreb_b, reb_on_b, use_pd, with_traj=False)
 
     # ------------------------------------------------------------- linearize
     def _terminal_al_grads(x, t_tcid, t_hasal, sig, lam, include_al_grad):
@@ -812,4 +875,5 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         linearize_p=_hp(linearize), backward_p=_hp(backward),
         backward_cl_p=_hp(backward_cl),
         linearize_cl_p=_hp(make_linearize_cl()),
+        rollout_cl_p=_hp(rollout_cl), rollout_V_cl_p=_hp(rollout_V_cl),
         specs=specs, n_phases=P, T=T)

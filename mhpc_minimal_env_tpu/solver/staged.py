@@ -114,17 +114,36 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     # ------------------------------------------------------ jitted stages
     # `plan` rides through every stage as a (vmap-broadcast) argument so one
     # compiled graph serves all same-shaped plans — see make_fused_engine.
-    rollout_b = jax.jit(jax.vmap(
-        eng["rollout_p"],
-        in_axes=(None, 0, ctg_ax, ctg_ax, ctg_ax, 0, ctg_ax, 0, 0, None),
-        out_axes=traj_ax))
-    # (B, L) cost-only rollouts: inner vmap over eps, outer over the batch
-    rollout_V_be = jax.jit(jax.vmap(
-        jax.vmap(eng["rollout_V_p"],
-                 in_axes=(None, None, None, None, None, 0, None, None, None,
-                          None)),
-        in_axes=(None, 0, ctg_ax, ctg_ax, ctg_ax, None, ctg_ax, 0, 0,
-                 None)))
+    if cl:
+        # natively channel-last rollouts (vmap-inside-scan): stacked
+        # trajectory outputs are (T, ., B) compact with no batch-major
+        # transient — see fused._rollout_impl_cl
+        rollout_b = jax.jit(eng["rollout_cl_p"])
+        _rollout_V_eps = jax.vmap(
+            eng["rollout_V_cl_p"],
+            in_axes=(None, None, None, None, None, 0, None, None, None,
+                     None))
+
+        @jax.jit
+        def rollout_V_be(plan_, x0_b, nom_x, nom_u, ctg_, eps_cand, ref_x,
+                         alreb_b, reb_on_b, use_pd):
+            Lc = eps_cand.shape[0]
+            eps_lb = jnp.broadcast_to(
+                eps_cand[:, None], (Lc, x0_b.shape[0])).astype(dtype)
+            V_lb, h_lb, viol_lb = _rollout_V_eps(
+                plan_, x0_b, nom_x, nom_u, ctg_, eps_lb, ref_x, alreb_b,
+                reb_on_b, use_pd)
+            return V_lb.T, h_lb, viol_lb.T  # (B, L) like the bm variant
+    else:
+        rollout_b = jax.jit(jax.vmap(
+            eng["rollout_p"],
+            in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, None)))
+        # (B, L) cost-only rollouts: inner vmap over eps, outer over batch
+        rollout_V_be = jax.jit(jax.vmap(
+            jax.vmap(eng["rollout_V_p"],
+                     in_axes=(None, None, None, None, None, 0, None, None,
+                              None, None)),
+            in_axes=(None, 0, 0, 0, 0, None, 0, 0, 0, None)))
     if cl:
         # natively channel-last: vmap(out_axes=-1) would materialize the
         # padded batch-major intermediate before transposing (OOM at
@@ -244,6 +263,13 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     def zeros_b(B, *shape):
         return jnp.zeros((B,) + shape, dtype)
 
+    # structural placeholder for FusedSolveResult.lin where no real
+    # linearization is live (initial carry; AL-iteration boundaries)
+    _z1 = jnp.zeros((1,), dtype)
+    _lin_stub = FusedLin(A=_z1, Bm=_z1, Cm=_z1, D=_z1, lx=_z1, lu=_z1,
+                         ly=_z1, lxx=_z1, luu=_z1, lyy=_z1, phix=_z1,
+                         phixx=_z1, Px=_z1)
+
     # --------------------------------------------------- solve orchestration
     def _ls_probe(plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
                   cost_prev_b, dVexp_b, eps_cand):
@@ -330,7 +356,10 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
             done = done | (active & (conv | new_st.aborted))
         alreb = update_al_reb_b(st.alreb, st.nominal.h, st.viol, reb_on_b,
                                 st.aborted)
-        return st._replace(alreb=alreb)
+        # drop the linearization from the AL-iteration output: the next AL
+        # iteration re-linearizes before any backward, so keeping it alive
+        # pins ~2.8 GB (B=1024 f32) across the AL boundary for nothing
+        return st._replace(alreb=alreb, lin=_lin_stub)
 
     def solve_batched(x0_b, warm_x_b=None, warm_u_b=None, plan_=None,
                       alreb0_=None):
@@ -374,26 +403,12 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                 V=jnp.zeros((B,), adt),
                 h=jnp.zeros((B, P), adt), viol=jnp.zeros((B,), adt),
             )
-        if cl:
-            zc = lambda *s: jnp.zeros((T,) + s + (B,), dtype)
-            lin0 = FusedLin(
-                A=zc(XDIM, XDIM), Bm=zc(XDIM, 4), Cm=zc(4, XDIM),
-                D=zc(4, 4), lx=zc(XDIM), lu=zc(4), ly=zc(4),
-                lxx=zc(XDIM, XDIM), luu=zc(4, 4), lyy=zc(4, 4),
-                phix=zc(XDIM), phixx=zc(XDIM, XDIM), Px=zc(XDIM, XDIM),
-            )
-        else:
-            lin0 = FusedLin(
-                A=zeros_b(B, T, XDIM, XDIM), Bm=zeros_b(B, T, XDIM, 4),
-                Cm=zeros_b(B, T, 4, XDIM), D=zeros_b(B, T, 4, 4),
-                lx=zeros_b(B, T, XDIM), lu=zeros_b(B, T, 4),
-                ly=zeros_b(B, T, 4), lxx=zeros_b(B, T, XDIM, XDIM),
-                luu=zeros_b(B, T, 4, 4), lyy=zeros_b(B, T, 4, 4),
-                phix=zeros_b(B, T, XDIM), phixx=zeros_b(B, T, XDIM, XDIM),
-                Px=zeros_b(B, T, XDIM, XDIM),
-            )
+        # the carry's lin is NEVER read before each AL iteration's own
+        # linearize replaces it (and result_where passes lin through
+        # unselected), so a full-size zero tree here would only pin memory
+        # — a stub keeps the pytree structure at zero cost
         carry = FusedSolveResult(
-            nominal=ws, ctg=ctg0, lin=lin0, alreb=alreb_b,
+            nominal=ws, ctg=ctg0, lin=_lin_stub, alreb=alreb_b,
             cost=jnp.zeros((B,), adt), viol=jnp.zeros((B,), adt),
             reg=zeros_b(B), aborted=jnp.zeros((B,), bool),
         )

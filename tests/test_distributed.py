@@ -45,23 +45,25 @@ D.initialize(coordinator_address=os.environ["MHPC_COORD"],
              num_processes=nproc, process_id=pid)
 
 from mhpc_minimal_env_tpu.runtime.locomotion import (
-    MHPCLocomotion, MHPCProblem, X0_DEFAULT,
+    X0_DEFAULT, default_problem,
 )
-from mhpc_minimal_env_tpu.types import HSDDPOptions, PhaseSpec
+from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
+from jax.sharding import PartitionSpec as P
 assert jax.process_count() == nproc, jax.process_count()
 assert len(jax.devices()) == 4 * nproc, len(jax.devices())
 
 mesh = D.make_host_mesh()
 assert mesh.devices.shape == (nproc, 4), mesh.devices.shape
 
-specs = (
-    PhaseSpec(model="wb", mode=1, n_steps=5, dt=1e-3),
-    PhaseSpec(model="wb", mode=2, n_steps=5, dt=1e-3),
-    PhaseSpec(model="fb", mode=3, n_steps=5, dt=1e-3),
-)
-problem = MHPCProblem(specs=specs, opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=1),
-                      vel_cmd=1.5, ground_height=-0.404, height_cmd=0.0)
-loco = MHPCLocomotion(problem, dtype=jnp.float64)
+# the PRODUCTION engine + problem shape: all 8 phases of the default
+# bounding problem (every impact seam + the WB->FB projection), staged
+# solver, 1 AL x 1 DDP; quarter horizons keep the 2-process CPU CI fast
+from mhpc_minimal_env_tpu.types import HSDDPOptions
+problem = default_problem(opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=1),
+                          duration_scale=0.25)
+solve, _ = build_staged_solver(
+    list(problem.specs), problem.opt, problem.vel_cmd,
+    problem.ground_height, problem.height_cmd, jnp.float64)
 
 B = 16  # 2 lanes per device
 
@@ -78,9 +80,10 @@ assert x0.shape == (B, 14)
 local_rows = sum(s.data.shape[0] for s in x0.addressable_shards)
 assert local_rows == B // nproc, local_rows
 
-res = D.sharded_solve_2d(loco.single, mesh)(x0)
+res = solve(x0)
 res.cost.block_until_ready()
-metrics = D.sharded_metrics_2d(loco.single, mesh)(x0)
+assert res.cost.shape == (B,)
+metrics = D.result_metrics_2d(mesh)(res.cost, res.viol, res.aborted)
 out = {k: float(v) for k, v in metrics.items()}
 out["pid"] = pid
 out["ndev"] = len(jax.devices())

@@ -38,8 +38,10 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if not args.f32:
-        jax.config.update("jax_enable_x64", True)
+    # x64 is always enabled: --f32 selects the f32 COMPUTE dtype, but the
+    # accumulator/decision dtype stays f64 (solver acc_dtype) and needs
+    # real float64 available
+    jax.config.update("jax_enable_x64", True)
     on_cpu = args.cpu or jax.devices()[0].platform == "cpu"
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

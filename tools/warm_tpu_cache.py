@@ -112,6 +112,10 @@ def main():
             print(f"[warm] {name:18s} FAILED after {time.time()-t0:.1f}s: "
                   f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
+    # free the AOT probe operands (notably the full-size lin zeros tree,
+    # ~2.8 GB at B=1024 f32) before running the real solve
+    del lin, ctg, traj, nom_x, nom_u, stages
+
     # end-to-end: one full solve (compiles the small glue jits too)
     t0 = time.time()
     res = solve(x0)
