@@ -188,10 +188,9 @@ def worker():
 # --------------------------------------------------------------------------
 
 PRIMARY = [  # f64: the SLO-meeting fidelity path (headline)
-    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "256"}, 420),
-    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "64"}, 240),
-    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "8",
-      "MHPC_BENCH_REPS": "1"}, 150),
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "384"}, 420),
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "256"}, 300),
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "64"}, 200),
 ]
 SECONDARY = [  # f32: production-throughput point (reported as f32_*)
     ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "1024"}, 280),

@@ -46,3 +46,57 @@ def test_is_pd_chol():
     assert not bool(LA.is_pd_chol(B))
     # the reference's -1e-9 shift: zero matrix must fail
     assert not bool(LA.is_pd_chol(jnp.zeros((4, 4)), shift=1e-9))
+
+
+# ---------------------------------------------------------------------------
+# channel-last variants: (rows, cols, B) with batch minor must match the
+# batch-major forms bit-for-bit in f64 (same multiply pairing / reduce axes
+# — see ops/linalg.py channel-last section)
+# ---------------------------------------------------------------------------
+
+def _cl(a):  # (B, r, c) -> (r, c, B)
+    return jnp.moveaxis(jnp.asarray(a), 0, -1)
+
+
+def test_channel_last_matmuls_match_batch_major():
+    rng = np.random.default_rng(3)
+    B = 9
+    X = rng.normal(size=(B, 14, 14))
+    Y = rng.normal(size=(B, 14, 4))
+    v = rng.normal(size=(B, 14))
+    mm = np.asarray(LA.mm(jnp.asarray(X), jnp.asarray(Y)))
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(LA.mm_cl(_cl(X), _cl(Y))), -1, 0), mm)
+    mtm = np.asarray(LA.mm(jnp.swapaxes(jnp.asarray(Y), -1, -2),
+                           jnp.asarray(X)))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(LA.mtm_cl(_cl(Y), _cl(X))), -1, 0), mtm,
+        rtol=0, atol=1e-13)
+    mv = np.asarray(LA.mv(jnp.asarray(X), jnp.asarray(v)))
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(LA.mv_cl(_cl(X), jnp.asarray(v).T)), -1, 0),
+        mv)
+    mtv = np.asarray(LA.mv(jnp.swapaxes(jnp.asarray(X), -1, -2),
+                           jnp.asarray(v)))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(LA.mtv_cl(_cl(X), jnp.asarray(v).T)), -1, 0),
+        mtv, rtol=0, atol=1e-13)
+
+
+def test_inv4_cl_matches_inv4():
+    rng = np.random.default_rng(4)
+    A = rng.normal(size=(40, 4, 4)) + 4 * np.eye(4)
+    ref = np.asarray(jax.vmap(LA.inv4)(jnp.asarray(A)))
+    cl = np.moveaxis(np.asarray(LA.inv4_cl(_cl(A))), -1, 0)
+    np.testing.assert_array_equal(cl, ref)
+
+
+def test_is_pd_chol_cl_matches():
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(30, 4, 4))
+    A = A @ np.swapaxes(A, -1, -2) + 0.05 * np.eye(4)
+    A[::3] -= 0.5 * np.eye(4)  # make some indefinite
+    ref = np.asarray(jax.vmap(lambda a: LA.is_pd_chol(a, shift=1e-9))(
+        jnp.asarray(A)))
+    cl = np.asarray(LA.is_pd_chol_cl(_cl(A), shift=1e-9))
+    np.testing.assert_array_equal(cl, ref)
