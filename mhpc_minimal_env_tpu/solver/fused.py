@@ -323,7 +323,8 @@ def _chunk_size(T: int, target: int) -> int:
 def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                       vel_cmd: float, ground_height: float,
                       height_cmd: float = 0.0, dtype=jnp.float64,
-                      lin_chunk: int = 48, acc_dtype=None):
+                      lin_chunk: int = 48, acc_dtype=None,
+                      scan_unroll: int = 1):
     """acc_dtype: dtype for the COST / violation ACCUMULATORS (V, hacc) in
     the rollout.  The solver's discrete decisions — line-search acceptance
     (MultiPhaseDDP.cpp:130-151), DDP convergence, AL thresholds — all
@@ -485,7 +486,8 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         init = (x0_b.T, jnp.zeros((4, B), dtype=x0_b.dtype),
                 jnp.zeros((B,), dtype=acc_dtype),
                 jnp.zeros((B, P), dtype=acc_dtype))
-        (_, _, V, hacc), outs = jax.lax.scan(body, init, inputs)
+        (_, _, V, hacc), outs = jax.lax.scan(body, init, inputs,
+                                             unroll=scan_unroll)
         viol = jnp.sqrt(jnp.sum(hacc**2, axis=-1))
         if not with_traj:
             return V, hacc, viol
@@ -840,7 +842,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         init = (jnp.zeros((XDIM, B), dt_), jnp.zeros((XDIM, XDIM, B), dt_),
                 jnp.zeros((B,), dt_), jnp.ones((B,), bool))
         (_, _, dV, ok), (dus, Ks, Gs) = jax.lax.scan(
-            body, init, inputs, reverse=True
+            body, init, inputs, reverse=True, unroll=scan_unroll
         )
         return ok, dV, FusedCTG(du=dus, Kfb=Ks, G=Gs)
 

@@ -59,7 +59,8 @@ def _where_last(mask, x, y):
 def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
                         backward: str = "cl", acc_dtype=None,
-                        monitor=None, ls_fastpath: int = 4):
+                        monitor=None, ls_fastpath: int = 4,
+                        scan_unroll: int = 1):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
     identical to fused_hsddp_batched.build_fused_solver_batched.
 
@@ -84,7 +85,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     (tools/decision_slack.py).  0 disables (always the full sweep)."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk,
-                            acc_dtype=acc_dtype)
+                            acc_dtype=acc_dtype, scan_unroll=scan_unroll)
     adt = acc_dtype if acc_dtype is not None else dtype
     plan = eng["plan"]
     P, T = eng["n_phases"], eng["T"]

@@ -50,14 +50,15 @@ def main():
     dtype = jnp.float64 if want64 else jnp.float32
     acc_dtype = jnp.float64 if not want64 else None
     lin_chunk = int(os.environ.get("MHPC_LIN_CHUNK", "48"))
+    scan_unroll = int(os.environ.get("MHPC_SCAN_UNROLL", "1"))
     print(f"[warm] device={jax.devices()[0]} B={B} dtype={dtype.__name__} "
-          f"lin_chunk={lin_chunk}", flush=True)
+          f"lin_chunk={lin_chunk} unroll={scan_unroll}", flush=True)
 
     problem = default_problem()
     solve, eng = build_staged_solver(
         list(problem.specs), problem.opt, problem.vel_cmd,
         problem.ground_height, problem.height_cmd, dtype,
-        acc_dtype=acc_dtype, lin_chunk=lin_chunk)
+        acc_dtype=acc_dtype, lin_chunk=lin_chunk, scan_unroll=scan_unroll)
     plan, T, P = eng["plan"], eng["T"], eng["n_phases"]
     st = eng["stages"]
 
