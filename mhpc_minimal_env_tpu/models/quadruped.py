@@ -173,6 +173,128 @@ WB_CONTACT = {BACK_STANCE: (0.0, 1.0), FLIGHT1: (0.0, 0.0),
               FRONT_STANCE: (1.0, 0.0), FLIGHT2: (0.0, 0.0)}
 
 
+# --------------------------------------------------------------------------
+# analytic linearization of the masked-KKT dynamics
+# --------------------------------------------------------------------------
+
+def _both_feet_pos(q):
+    """Stacked (4,) world positions of (front, hind) feet."""
+    o, _ = K.link_frames(q)
+    return jnp.concatenate([o[K.F_FOOT], o[K.H_FOOT]])
+
+
+def _both_feet_J(q):
+    """(4,7) stacked foot Jacobian (= jacfwd of the positions)."""
+    return jax.jacfwd(_both_feet_pos)(q)
+
+
+def wb_jac_masked(x, u, cf, ch):
+    """Closed-form continuous-time Jacobians of `wb_xdot_masked`:
+    (dxdot_dx (14,14), dxdot_du (14,4), dF_dx (4,14), dF_du (4,4)).
+
+    This is the TPU-native analog of the reference's analytic partial
+    kernels (CasadiGen/source/Dyn_BS_par.c etc.): instead of pushing 18
+    forward tangents through the full contact-KKT dynamics (jacfwd of
+    `wb_xdot_masked`, measured 55% of solve time in round 3), the chain
+    rule is assembled by hand so that
+
+      - the mass-matrix / bias / Jacobian q-derivative tensors come from
+        7-tangent AD over only the CHEAP model functions (mass_matrix,
+        foot kinematics, bias_forces) — never through the KKT solves;
+      - the qd-derivatives are exact tensor contractions of dM/dq
+        (dc/dqd = Mdot + G - G^T with G = dM contracted with qd) and of
+        the foot Hessian (d(Jd qd)/dqd = 2 Jd) — zero extra AD;
+      - every KKT-solution derivative reuses the TWO primal Cholesky
+        factorizations (M and the gated contact Schur complement) as
+        multi-RHS triangular solves: one 46-column M-solve and one
+        18-column S-solve replace 18 re-factorizing tangent sweeps.
+
+    Exact calculus on the same formulas, so it matches jacfwd of
+    `wb_xdot_masked` to roundoff (tests/test_dynamics.py).
+    """
+    q, qd = x[:7], x[7:]
+    dt_ = x.dtype
+    c4 = jnp.stack([cf, cf, ch, ch]).astype(dt_)
+
+    # ---- primal quantities with both factorizations kept
+    M = mass_matrix(q)
+    LM = LA.cholesky_unrolled(M)
+    J = _both_feet_J(q)                                  # (4,7)
+    dJ = jax.jacfwd(_both_feet_J)(q)                     # (4,7,7) [a,j,k]
+    Jd = (dJ * qd[None, None, :]).sum(-1)                # (4,7)
+    cb = bias_forces(q, qd)
+    rhs = _actuation(u) - cb
+    sol = LA.cho_solve(LM, jnp.concatenate([rhs[:, None], J.T], axis=1))
+    x_free, W = sol[:, 0], sol[:, 1:]                    # (7,), (7,4)
+    Smat = LA.mm(J, W)
+    Sm = Smat * c4[:, None] * c4[None, :] + jnp.diag(1.0 - c4)
+    LS = LA.cholesky_unrolled(Sm)
+    b = (LA.mv(Jd, qd) + LA.mv(J, x_free)) * c4
+    Fm = LA.cho_solve(LS, b)                             # ungated solution
+    F = -Fm * c4
+    # (qdd itself is not needed — only its derivatives)
+
+    # ---- model derivative tensors (restricted AD + contractions)
+    dM = jax.jacfwd(mass_matrix)(q)                      # (7,7,7) [i,j,k]
+    dcq = jax.jacfwd(lambda qq: bias_forces(qq, qd))(q)  # (7,7)
+    # dc/dqd analytically from dM/dq:
+    #   c = Mdot qd - 1/2 d/dq(qd^T M qd) + g(q)
+    #   => dc/dqd = Mdot + G - G^T,  G[a,l] = sum_j dM[a,j,l] qd_j
+    Mdot = (dM * qd[None, None, :]).sum(-1)              # (7,7)
+    G = (dM * qd[None, :, None]).sum(1)                  # (7,7)
+    dcqd = Mdot + G - G.T
+    # gamma = Jd qd = qd^T Hess(p) qd; d(gamma)/dq via one directional
+    # second derivative chain (kinematics only)
+    dd_feet = lambda qq: jax.jvp(
+        lambda z: jax.jvp(_both_feet_pos, (z,), (qd,))[1], (qq,), (qd,))[1]
+    dgq = jax.jacfwd(dd_feet)(q)                         # (4,7)
+
+    # ---- one multi-RHS solve on the M factorization for all directions
+    dMx = (dM * x_free[None, :, None]).sum(1)            # (7,7)  dM_k x_free
+    R_q = -dcq - dMx                                     # q-dirs: d x_free
+    dMW = (dM[:, :, None, :] * W[None, :, :, None]).sum(1)  # (7,4,7)
+    R_W = jnp.transpose(dJ, (1, 0, 2)) - dMW             # q-dirs: d W
+    Su = jnp.concatenate(
+        [jnp.zeros((3, 4), dt_), jnp.eye(4, dtype=dt_)], axis=0)  # (7,4)
+    RHS = jnp.concatenate(
+        [R_q, R_W.reshape(7, 28), -dcqd, Su], axis=1)    # (7, 46)
+    SOLVED = LA.cho_solve(LM, RHS)
+    dxf_q = SOLVED[:, :7]                                # (7,7)
+    dW_q = SOLVED[:, 7:35].reshape(7, 4, 7)              # (7,4,7)
+    dxf_qd = SOLVED[:, 35:42]                            # (7,7)
+    dxf_u = SOLVED[:, 42:46]                             # (7,4)
+
+    # ---- contact-force derivatives: one multi-RHS solve on the Sm factor
+    dS_q = ((dJ[:, :, None, :] * W[None, :, :, None]).sum(1)
+            + (J[:, :, None, None] * dW_q[None, :, :, :]).sum(1))  # (4,4,7)
+    dS_q = dS_q * c4[:, None, None] * c4[None, :, None]
+    dJxf = (dJ * x_free[None, :, None]).sum(1)           # (4,7)
+    Jdxf_q = (J[:, :, None] * dxf_q[None, :, :]).sum(1)  # (4,7)
+    db_q = (dgq + dJxf + Jdxf_q) * c4[:, None] \
+        - (dS_q * Fm[None, :, None]).sum(1)
+    db_qd = (2.0 * Jd + (J[:, :, None] * dxf_qd[None, :, :]).sum(1)) \
+        * c4[:, None]
+    db_u = (J[:, :, None] * dxf_u[None, :, :]).sum(1) * c4[:, None]
+    dFm = LA.cho_solve(LS, jnp.concatenate([db_q, db_qd, db_u], axis=1))
+    dF_q = -dFm[:, :7] * c4[:, None]                     # (4,7)
+    dF_qd = -dFm[:, 7:14] * c4[:, None]
+    dF_u = -dFm[:, 14:18] * c4[:, None]
+
+    # ---- qdd derivatives and block assembly
+    dqdd_q = (dxf_q + (dW_q * F[None, :, None]).sum(1)
+              + (W[:, :, None] * dF_q[None, :, :]).sum(1))
+    dqdd_qd = dxf_qd + (W[:, :, None] * dF_qd[None, :, :]).sum(1)
+    dqdd_u = dxf_u + (W[:, :, None] * dF_u[None, :, :]).sum(1)
+
+    z77 = jnp.zeros((7, 7), dt_)
+    top = jnp.concatenate([z77, jnp.eye(7, dtype=dt_)], axis=1)
+    bot = jnp.concatenate([dqdd_q, dqdd_qd], axis=1)
+    dxdot_dx = jnp.concatenate([top, bot], axis=0)       # (14,14)
+    dxdot_du = jnp.concatenate([jnp.zeros((7, 4), dt_), dqdd_u], axis=0)
+    dF_dx = jnp.concatenate([dF_q, dF_qd], axis=1)       # (4,14)
+    return dxdot_dx, dxdot_du, dF_dx, dF_u
+
+
 def impact_map_masked(x, cf, ch):
     """Foot-gated plastic impact: qd+ = qd - M^-1 J^T lam,
     lam = (J M^-1 J^T)^-1 J qd restricted to the gated foot rows.

@@ -173,12 +173,19 @@ class RecedingHorizonMPC:
         for _ in range(n_cycles):
             res = self._solve(x, warm_x, warm_u,
                               plan_=self._plans[cmode],
-                              alreb0_=self._alreb0[cmode])
+                              alreb0_=self._alreb0[cmode],
+                              aborted0_b=~alive)
             x_next, xs, us, warm_x, warm_u = self._tails_b[cmode](
                 x, res.nominal.x, res.nominal.u, res.ctg.Kfb)
             bad = res.aborted | ~jnp.all(jnp.isfinite(x_next), axis=-1)
             alive = alive & ~bad
             x_next = jnp.where(alive[:, None], x_next, x)
+            # dead lanes: zero the (possibly NaN) rotated warm start so the
+            # next solve starts from finite data, and carry the abort flag
+            # in so the line-search fastpath gate skips them immediately
+            # instead of forcing the full candidate sweep for everyone
+            warm_x = jnp.where(alive[None, None, :], warm_x, 0.0)
+            warm_u = jnp.where(alive[None, None, :], warm_u, 0.0)
             out.append(MPCCycleResult(
                 x_next=x_next, x_exec=xs, u_exec=us,
                 cost=res.cost, viol=res.viol,
@@ -189,7 +196,16 @@ class RecedingHorizonMPC:
         return out
 
     def run(self, x0, n_cycles: int, cmode: int = 1):
-        """Single-scenario receding-horizon loop (B=1 lane of run_batched)."""
+        """Single-scenario receding-horizon loop (B=1 lane of run_batched).
+
+        Slicing is per-field because MPCCycleResult mixes layouts: warm_x /
+        warm_u come out of the staged tail CHANNEL-LAST (T, ch, B) while
+        everything else is batch-major (B, ...) — a uniform `a[0]` tree-map
+        would slice gridpoint 0 of the warm fields instead of lane 0."""
         out_b = self.run_batched(jnp.asarray(x0)[None], n_cycles, cmode)
-        return [jax.tree.map(lambda a: a[0] if a.ndim else a, r)
-                for r in out_b]
+        return [r._replace(
+            x_next=r.x_next[0], x_exec=r.x_exec[0], u_exec=r.u_exec[0],
+            cost=r.cost[0], viol=r.viol[0],
+            warm_x=r.warm_x[..., 0], warm_u=r.warm_u[..., 0],
+            alive=r.alive[0],
+        ) for r in out_b]

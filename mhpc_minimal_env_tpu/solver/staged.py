@@ -60,7 +60,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
                         backward: str = "cl", acc_dtype=None,
                         monitor=None, ls_fastpath: int = 4,
-                        scan_unroll: int = 1):
+                        scan_unroll: int = 1, analytic_lin: bool = True):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
     identical to fused_hsddp_batched.build_fused_solver_batched.
 
@@ -85,7 +85,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     (tools/decision_slack.py).  0 disables (always the full sweep)."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk,
-                            acc_dtype=acc_dtype, scan_unroll=scan_unroll)
+                            acc_dtype=acc_dtype, scan_unroll=scan_unroll,
+                            analytic_lin=analytic_lin)
     adt = acc_dtype if acc_dtype is not None else dtype
     plan = eng["plan"]
     P, T = eng["n_phases"], eng["T"]
@@ -149,10 +150,27 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         # natively channel-last: vmap(out_axes=-1) would materialize the
         # padded batch-major intermediate before transposing (OOM at
         # B=1024) — see fused.make_linearize_cl
-        linearize_b = jax.jit(eng["linearize_cl_p"])
+        _lin_fn = eng["linearize_cl_p"]
     else:
-        linearize_b = jax.jit(jax.vmap(
-            eng["linearize_p"], in_axes=(None, traj_ax, ctg_ax, 0, 0, None)))
+        _lin_fn = jax.vmap(
+            eng["linearize_p"], in_axes=(None, traj_ax, ctg_ax, 0, 0, None))
+    linearize_b = jax.jit(_lin_fn)
+
+    def _lin_dead(plan_, tr, ref_x, alreb_b, reb_on_b, flag, dead_lin):
+        del dead_lin  # donated: its buffers are reused for the output tree
+        return _lin_fn(plan_, tr, ref_x, alreb_b, reb_on_b, flag)
+
+    # DDP-iteration re-linearization DONATES the previous iteration's lin
+    # tree (identical shapes/dtypes -> XLA aliases input to output): the
+    # two ~5.7 GB f64 trees that coexisted at B=512 (round-3 OOM,
+    # PERF.md §9.3) collapse to one + workspace.  In-order single-stream
+    # TPU execution makes the aliasing safe even with the backward/LS
+    # consumers of the old tree still pending at dispatch time.
+    # keep_unused=True: without it jit prunes the (computationally unused)
+    # dead_lin parameter and the aliasing never reaches XLA — verified via
+    # the `tf.aliasing_output` attributes in the lowered HLO
+    linearize_donate = jax.jit(_lin_dead, donate_argnums=(6,),
+                               keep_unused=True)
 
     if cl:
         backward_b = eng["backward_cl_p"]
@@ -242,7 +260,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
               + dec * dVexp_b.astype(adt)[:, None])
         accepted = jnp.any(ok, axis=1)
         first = jnp.argmax(ok, axis=1)
-        return eps_all[first], accepted
+        return eps_all[first], accepted, first
 
     @jax.jit
     def update_al_reb_b(alreb: FusedALReB, h_b, viol_b, reb_on_b, aborted):
@@ -279,13 +297,69 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         zf = jnp.zeros((), dtype)
         V_bl, _, _ = rollout_V_be(plan, x0_b, nominal.x, nominal.u, ctg,
                                   eps_cand, ref_x, alreb_b, reb_on_b, zf)
-        eps_sel, accepted = ls_select(V_bl, cost_prev_b, dVexp_b)
+        eps_sel, accepted, _ = ls_select(V_bl, cost_prev_b, dVexp_b)
         return V_bl, eps_sel, accepted
+
+    # fused line search (channel-last production path): the K-candidate
+    # probe rolls out WITH trajectories, the first-accepted trajectory is
+    # gathered per lane, and the full-candidate fallback runs as the other
+    # branch of a device-side lax.cond — so the steady state is ONE
+    # dispatch with ZERO host syncs, vs probe + blocking-sync + rollout
+    # (the round-3 path; VERDICT r3 items 3 and 7).  Semantics are exactly
+    # MultiPhaseDDP.cpp:130-151 either way: first-accepted-in-sequence,
+    # non-accepting lanes keep the nominal trajectory.
+    if cl and 0 < int(ls_fastpath or 0) < L:
+        K = int(ls_fastpath)
+        _rollout_traj_eps = jax.vmap(
+            eng["rollout_cl_p"],
+            in_axes=(None, None, None, None, None, 0, None, None, None,
+                     None))
+
+        def _ls_fused_fn(plan_, x0_b, nominal, ctg_, ref_x, alreb_b,
+                         reb_on_b, cost_prev_b, dVexp_b, aborted_b):
+            B = x0_b.shape[0]
+            zf = jnp.zeros((), dtype)
+            eps_kb = jnp.broadcast_to(eps_all[:K, None], (K, B)).astype(dtype)
+            trK = _rollout_traj_eps(plan_, x0_b, nominal.x, nominal.u, ctg_,
+                                    eps_kb, ref_x, alreb_b, reb_on_b, zf)
+            _, acc_k, first_k = ls_select(trK.V.T, cost_prev_b, dVexp_b)
+
+            def fast(_):
+                g4 = lambda a: jnp.take_along_axis(
+                    a, first_k[None, None, None, :], axis=0)[0]
+                g2 = lambda a: jnp.take_along_axis(
+                    a, first_k[None, :], axis=0)[0]
+                g3 = lambda a: jnp.take_along_axis(
+                    a, first_k[None, :, None], axis=0)[0]
+                tr = FusedTraj(x=g4(trK.x), u=g4(trK.u), y=g4(trK.y),
+                               V=g2(trK.V), h=g3(trK.h), viol=g2(trK.viol))
+                return tr, acc_k
+
+            def full(_):
+                V_bl, _, _ = rollout_V_be(
+                    plan_, x0_b, nominal.x, nominal.u, ctg_, eps_all,
+                    ref_x, alreb_b, reb_on_b, zf)
+                eps_s, acc, _ = ls_select(V_bl, cost_prev_b, dVexp_b)
+                tr = eng["rollout_cl_p"](plan_, x0_b, nominal.x, nominal.u,
+                                         ctg_, eps_s, ref_x, alreb_b,
+                                         reb_on_b, zf)
+                return tr, acc
+
+            need_full = ~jnp.all(acc_k | aborted_b)
+            tr, accepted = jax.lax.cond(need_full, full, fast, None)
+            return traj_where(accepted, tr, nominal)
+
+        ls_fused = jax.jit(_ls_fused_fn)
+    else:
+        ls_fused = None
 
     def line_search(plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
                     cost_prev_b, dVexp_b, aborted_b):
         K = int(ls_fastpath or 0)
         zf = jnp.zeros((), dtype)
+        if ls_fused is not None and monitor is None:
+            return ls_fused(plan, x0_b, nominal, ctg, ref_x, alreb_b,
+                            reb_on_b, cost_prev_b, dVexp_b, aborted_b)
         if 0 < K < L:
             V_bl, eps_sel, accepted = _ls_probe(
                 plan, x0_b, nominal, ctg, ref_x, alreb_b, reb_on_b,
@@ -324,9 +398,10 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         # output is then dead: the next AL iteration re-rolls and
         # re-linearizes under the updated AL/ReB weights.  Skip the dead
         # call (pure elided computation, ~12% of solve time; bit-identical
-        # results).
-        lin = (linearize_b(plan, tr, ref_x, st.alreb, reb_on_b,
-                           jnp.zeros((), dtype)) if need_lin else st.lin)
+        # results).  The old tree (st.lin) is donated into the new one.
+        lin = (linearize_donate(plan, tr, ref_x, st.alreb, reb_on_b,
+                                jnp.zeros((), dtype), st.lin)
+               if need_lin else st.lin)
         out = st._replace(nominal=tr, ctg=ctg, lin=lin, cost=tr.V,
                           viol=tr.viol, reg=reg)
         converged = (cost_prev - tr.V) < opt.DDP_thresh
@@ -363,7 +438,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         return st._replace(alreb=alreb, lin=_lin_stub)
 
     def solve_batched(x0_b, warm_x_b=None, warm_u_b=None, plan_=None,
-                      alreb0_=None):
+                      alreb0_=None, aborted0_b=None):
         """Solve for a batch of initial states.
 
         warm_x_b/warm_u_b: optional nominal trajectories seeding the solve
@@ -371,7 +446,9 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         heuristic when absent) — channel-last (T, ., B) in the default cl
         mode, (B, T, .) otherwise.  plan_/alreb0_: alternate problem plan
         + AL/ReB init of IDENTICAL shapes (e.g. another gait rotation) —
-        reuses every compiled stage graph.
+        reuses every compiled stage graph.  aborted0_b: (B,) bool lanes to
+        treat as already-aborted (MPC failure isolation: frozen lanes skip
+        the line-search fastpath gate instead of forcing full sweeps).
         """
         plan = plan_ if plan_ is not None else eng["plan"]
         a0 = alreb0_ if alreb0_ is not None else alreb0
@@ -411,7 +488,9 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         carry = FusedSolveResult(
             nominal=ws, ctg=ctg0, lin=_lin_stub, alreb=alreb_b,
             cost=jnp.zeros((B,), adt), viol=jnp.zeros((B,), adt),
-            reg=zeros_b(B), aborted=jnp.zeros((B,), bool),
+            reg=zeros_b(B),
+            aborted=(jnp.zeros((B,), bool) if aborted0_b is None
+                     else jnp.asarray(aborted0_b, bool)),
         )
 
         done = jnp.zeros((B,), bool)
@@ -426,7 +505,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     # path, not a re-jitted lookalike with different HLO
     eng["stages"] = dict(
         rollout_b=rollout_b, rollout_V_be=rollout_V_be,
-        linearize_b=linearize_b, backward_retry=backward_retry_jit,
+        linearize_b=linearize_b, linearize_donate=linearize_donate,
+        backward_retry=backward_retry_jit, ls_fused=ls_fused,
         eps_all=eps_all,
     )
     return solve_batched, eng

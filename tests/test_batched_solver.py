@@ -18,6 +18,8 @@ from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
 from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
 from mhpc_minimal_env_tpu.types import HSDDPOptions, PhaseSpec
 
+pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
+
 SPECS = [
     PhaseSpec(model="wb", mode=1, n_steps=8, dt=1e-3),
     PhaseSpec(model="wb", mode=2, n_steps=8, dt=1e-3),

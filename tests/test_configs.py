@@ -3,6 +3,7 @@
 Full-size runs live in tools/bench_configs.py; here each config's problem
 builder is exercised at test-friendly scale on the CPU mesh.
 """
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -11,6 +12,8 @@ from mhpc_minimal_env_tpu.configs import (
 )
 from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion, X0_DEFAULT
 from mhpc_minimal_env_tpu.types import HSDDPOptions
+
+pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
 
 
 def test_config_registry_complete():

@@ -49,6 +49,8 @@ from mhpc_minimal_env_tpu.runtime.locomotion import (
 )
 from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
 from jax.sharding import PartitionSpec as P
+
+pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
 assert jax.process_count() == nproc, jax.process_count()
 assert len(jax.devices()) == 4 * nproc, len(jax.devices())
 

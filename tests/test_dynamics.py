@@ -188,3 +188,28 @@ def test_masked_impact_bitwise_equals_resetmap():
             np.testing.assert_allclose(np.asarray(ref[1]) + 0.0,
                                        np.asarray(msk[1]) + 0.0,
                                        rtol=1e-13, atol=1e-11)
+
+
+def test_analytic_wb_jacobians_match_jacfwd():
+    """wb_jac_masked (the closed-form Dyn_*_par analog used by the
+    production linearizer) == jacfwd of wb_xdot_masked to roundoff, for
+    all three contact gate patterns."""
+    import jax
+    import jax.numpy as jnp
+    from mhpc_minimal_env_tpu.models import quadruped as Q
+
+    def ref(x, u, cf, ch):
+        A, C = jax.jacfwd(lambda xx: Q.wb_xdot_masked(xx, u, cf, ch))(x)
+        B, D = jax.jacfwd(lambda uu: Q.wb_xdot_masked(x, uu, cf, ch))(u)
+        return A, B, C, D
+
+    refs = jax.jit(jax.vmap(ref, in_axes=(0, 0, None, None)))
+    ana = jax.jit(jax.vmap(Q.wb_jac_masked, in_axes=(0, 0, None, None)))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(50, 14)) * 0.5)
+    u = jnp.asarray(rng.normal(size=(50, 4)) * 5.0)
+    for cf, ch in [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]:
+        for name, r, a in zip("ABCD", refs(x, u, cf, ch), ana(x, u, cf, ch)):
+            scale = max(1.0, float(np.abs(np.asarray(r)).max()))
+            err = float(np.abs(np.asarray(r) - np.asarray(a)).max()) / scale
+            assert err < 1e-12, (cf, ch, name, err)

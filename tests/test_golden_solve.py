@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "reference_run.npz")
 
 

@@ -1,10 +1,13 @@
 """Receding-horizon MPC driver test (tiny problem: 1 WB + 1 FB phase)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from mhpc_minimal_env_tpu.runtime.mpc import RecedingHorizonMPC
 from mhpc_minimal_env_tpu.runtime.locomotion import X0_DEFAULT
 from mhpc_minimal_env_tpu.types import HSDDPOptions
+
+pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
 
 
 def test_mpc_cycles_advance_plant():
@@ -51,4 +54,15 @@ def test_mpc_run_batched_matches_single():
             np.testing.assert_allclose(
                 np.asarray(out_b[cyc].x_next[lane]),
                 np.asarray(out_s[cyc].x_next), atol=1e-9,
+            )
+            # warm_x/warm_u are CHANNEL-LAST (T, ch, B) in the batch: run()
+            # must slice lane `0` off the TRAILING axis (round-3 advisor
+            # finding: a uniform tree-map a[0] returned gridpoint 0)
+            T = out_b[cyc].warm_x.shape[0]
+            assert out_s[cyc].warm_x.shape == (T, 14)
+            assert out_s[cyc].warm_u.shape == (T, 4)
+            np.testing.assert_allclose(
+                np.asarray(out_b[cyc].warm_u[..., lane]),
+                np.asarray(mpc.run(x0_b[lane], n_cycles=cyc + 1)[-1].warm_u),
+                atol=1e-9,
             )

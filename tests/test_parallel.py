@@ -12,6 +12,8 @@ from mhpc_minimal_env_tpu.runtime.locomotion import (
 )
 from mhpc_minimal_env_tpu.types import HSDDPOptions, PhaseSpec
 
+pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
+
 
 @pytest.fixture(scope="module")
 def tiny_loco():

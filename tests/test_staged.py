@@ -4,6 +4,7 @@ The staged engine (solver/staged.py) must be numerically identical to
 fused_hsddp_batched — same stage graphs, same masking, only the loop
 driver differs (host Python vs lax control flow).
 """
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -15,6 +16,8 @@ from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
 )
 from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
 from mhpc_minimal_env_tpu.types import HSDDPOptions, PhaseSpec
+
+pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
 
 
 def _tiny_problem():

@@ -53,14 +53,18 @@ def main():
     dtype = (jnp.float64 if os.environ.get("MHPC_PROF_DTYPE") == "f64"
              else jnp.float32)
     engine = os.environ.get("MHPC_PROF_ENGINE", "staged")
+    unroll = int(os.environ.get("MHPC_PROF_UNROLL", "1"))
+    lin_chunk = int(os.environ.get("MHPC_PROF_LIN_CHUNK", "48"))
     print(f"[prof] device={jax.devices()[0]} B={B} dtype={dtype.__name__} "
-          f"engine={engine}", flush=True)
+          f"engine={engine} unroll={unroll} lin_chunk={lin_chunk}",
+          flush=True)
 
     problem = default_problem()
     solve, eng = build_staged_solver(
         list(problem.specs), problem.opt, problem.vel_cmd,
         problem.ground_height, problem.height_cmd, dtype,
         acc_dtype=(jnp.float64 if dtype == jnp.float32 else None),
+        scan_unroll=unroll, lin_chunk=lin_chunk,
     )
     plan, T = eng["plan"], eng["T"]
 

@@ -101,6 +101,14 @@ def main():
                      viol=jnp.zeros((B,), acc_dtype or dtype))
     stages[1] = ("linearize", st["linearize_b"],
                  (plan, traj, ref_x, alreb_b, epsb, zf))
+    stages.append(("linearize_donate", st["linearize_donate"],
+                   (plan, traj, ref_x, alreb_b, epsb, zf, lin)))
+    if st.get("ls_fused") is not None:
+        stages.append(("ls_fused", st["ls_fused"],
+                       (plan, x0, traj, ctg, ref_x, alreb_b, epsb,
+                        jnp.zeros((B,), acc_dtype or dtype),
+                        jnp.zeros((B,), dtype),
+                        jnp.zeros((B,), bool))))
 
     for name, fn, args in stages:
         if stage_filter and stage_filter not in name:
