@@ -145,6 +145,18 @@ def _masked_kkt(S, r, c):
     return F * c
 
 
+def _wb_assemble_masked(qd, u, cf, ch, M, cb, J, Jd, dtype):
+    """Masked-KKT assembly shared by the AD- and symbolic-terms paths."""
+    rhs = _actuation(u) - cb
+    sol = LA.spd_solve(M, jnp.concatenate([rhs[:, None], J.T], axis=1))
+    x_free, W = sol[:, 0], sol[:, 1:]          # (7,), (7,4)
+    S = LA.mm(J, W)                            # (4,4)
+    c = jnp.stack([cf, cf, ch, ch]).astype(dtype)
+    F = -_masked_kkt(S, LA.mv(Jd, qd) + LA.mv(J, x_free), c)
+    qdd = x_free + LA.mv(W, F)
+    return jnp.concatenate([qd, qdd]), F
+
+
 def wb_xdot_masked(x, u, cf, ch):
     """Mode-unified continuous WB dynamics with contact gates
     (cf, ch) in {0,1} for (front, hind) feet.
@@ -158,14 +170,21 @@ def wb_xdot_masked(x, u, cf, ch):
     q, qd = x[:7], x[7:]
     M = mass_matrix(q)
     J, Jd = _both_feet_J_Jd(q, qd)
-    rhs = _actuation(u) - bias_forces(q, qd)
-    sol = LA.spd_solve(M, jnp.concatenate([rhs[:, None], J.T], axis=1))
-    x_free, W = sol[:, 0], sol[:, 1:]          # (7,), (7,4)
-    S = LA.mm(J, W)                            # (4,4)
-    c = jnp.stack([cf, cf, ch, ch]).astype(x.dtype)
-    F = -_masked_kkt(S, LA.mv(Jd, qd) + LA.mv(J, x_free), c)
-    qdd = x_free + LA.mv(W, F)
-    return jnp.concatenate([qd, qdd]), F
+    return _wb_assemble_masked(qd, u, cf, ch, M, bias_forces(q, qd), J, Jd,
+                               x.dtype)
+
+
+def wb_xdot_masked_sym(x, u, cf, ch):
+    """wb_xdot_masked with the model terms (M, bias, J, Jd) evaluated as
+    GENERATED closed-form trig polynomials (models/sym_dynamics.py, the
+    Dyn_*.c analog) instead of per-step AD over the kinematics — several
+    times fewer ops in the rollout scan body.  Same KKT assembly, same
+    semantics; equivalence asserted by tests/test_dynamics.py."""
+    from . import sym_dynamics as SD
+
+    q, qd = x[:7], x[7:]
+    M, cb, J, Jd = SD.model_terms(q, qd)
+    return _wb_assemble_masked(qd, u, cf, ch, M, cb, J, Jd, x.dtype)
 
 
 # contact gates per WB mode (PlanarQuadruped.cpp:12-24): (front, hind)
@@ -214,27 +233,13 @@ def wb_jac_masked(x, u, cf, ch):
     """
     q, qd = x[:7], x[7:]
     dt_ = x.dtype
-    c4 = jnp.stack([cf, cf, ch, ch]).astype(dt_)
 
-    # ---- primal quantities with both factorizations kept
+    # ---- model derivative tensors (restricted AD + contractions)
     M = mass_matrix(q)
-    LM = LA.cholesky_unrolled(M)
     J = _both_feet_J(q)                                  # (4,7)
     dJ = jax.jacfwd(_both_feet_J)(q)                     # (4,7,7) [a,j,k]
     Jd = (dJ * qd[None, None, :]).sum(-1)                # (4,7)
     cb = bias_forces(q, qd)
-    rhs = _actuation(u) - cb
-    sol = LA.cho_solve(LM, jnp.concatenate([rhs[:, None], J.T], axis=1))
-    x_free, W = sol[:, 0], sol[:, 1:]                    # (7,), (7,4)
-    Smat = LA.mm(J, W)
-    Sm = Smat * c4[:, None] * c4[None, :] + jnp.diag(1.0 - c4)
-    LS = LA.cholesky_unrolled(Sm)
-    b = (LA.mv(Jd, qd) + LA.mv(J, x_free)) * c4
-    Fm = LA.cho_solve(LS, b)                             # ungated solution
-    F = -Fm * c4
-    # (qdd itself is not needed — only its derivatives)
-
-    # ---- model derivative tensors (restricted AD + contractions)
     dM = jax.jacfwd(mass_matrix)(q)                      # (7,7,7) [i,j,k]
     dcq = jax.jacfwd(lambda qq: bias_forces(qq, qd))(q)  # (7,7)
     # dc/dqd analytically from dM/dq:
@@ -248,6 +253,39 @@ def wb_jac_masked(x, u, cf, ch):
     dd_feet = lambda qq: jax.jvp(
         lambda z: jax.jvp(_both_feet_pos, (z,), (qd,))[1], (qq,), (qd,))[1]
     dgq = jax.jacfwd(dd_feet)(q)                         # (4,7)
+    return _wb_jac_assemble(qd, u, cf, ch, M, cb, J, Jd, dM, dcq, dcqd,
+                            dJ, dgq, dt_)
+
+
+def wb_jac_masked_sym(x, u, cf, ch):
+    """wb_jac_masked with ALL model derivative tensors (dM/dq, dc/dq,
+    dc/dqd, dJ/dq, d(Jd qd)/dq) evaluated as generated closed-form code
+    (models/sym_dynamics.py, the Dyn_*_par.c analog) — zero AD in the
+    linearizer hot path.  Same multi-RHS KKT assembly."""
+    from . import sym_dynamics as SD
+
+    q, qd = x[:7], x[7:]
+    M, cb, J, Jd, dM, dcq, dcqd, dJ, dgq = SD.model_terms_lin(q, qd)
+    return _wb_jac_assemble(qd, u, cf, ch, M, cb, J, Jd, dM, dcq, dcqd,
+                            dJ, dgq, x.dtype)
+
+
+def _wb_jac_assemble(qd, u, cf, ch, M, cb, J, Jd, dM, dcq, dcqd, dJ, dgq,
+                     dt_):
+    c4 = jnp.stack([cf, cf, ch, ch]).astype(dt_)
+
+    # ---- primal quantities with both factorizations kept
+    LM = LA.cholesky_unrolled(M)
+    rhs = _actuation(u) - cb
+    sol = LA.cho_solve(LM, jnp.concatenate([rhs[:, None], J.T], axis=1))
+    x_free, W = sol[:, 0], sol[:, 1:]                    # (7,), (7,4)
+    Smat = LA.mm(J, W)
+    Sm = Smat * c4[:, None] * c4[None, :] + jnp.diag(1.0 - c4)
+    LS = LA.cholesky_unrolled(Sm)
+    b = (LA.mv(Jd, qd) + LA.mv(J, x_free)) * c4
+    Fm = LA.cho_solve(LS, b)                             # ungated solution
+    F = -Fm * c4
+    # (qdd itself is not needed — only its derivatives)
 
     # ---- one multi-RHS solve on the M factorization for all directions
     dMx = (dM * x_free[None, :, None]).sum(1)            # (7,7)  dM_k x_free

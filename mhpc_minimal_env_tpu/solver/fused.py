@@ -240,13 +240,16 @@ def _pad14(x6):
     return jnp.concatenate([x6, jnp.zeros(8, dtype=x6.dtype)])
 
 
-def _step_dynamics(dyn_id, x, u, fh, ct, dt):
+def _step_dynamics(dyn_id, x, u, fh, ct, dt, wb_fn=Q.wb_xdot_masked):
     """One Euler step.  WB contact modes share ONE mode-unified masked-KKT
-    graph (Q.wb_xdot_masked — bit-identical to the per-mode dynamics);
-    only the FB model needs a separate branch.  Halving the branch count
-    halves the compile-dominating scan-body graph."""
+    graph (wb_fn — bit-identical to the per-mode dynamics); only the FB
+    model needs a separate branch.  Halving the branch count halves the
+    compile-dominating scan-body graph.  wb_fn selects the model-term
+    evaluation: Q.wb_xdot_masked (AD over kinematics) or
+    Q.wb_xdot_masked_sym (generated closed form, the default engine
+    path)."""
     def wb(x, u, fh, ct):
-        xdot, y = Q.wb_xdot_masked(x, u, ct[0], ct[1])
+        xdot, y = wb_fn(x, u, ct[0], ct[1])
         return x + xdot * dt, y
 
     def fb(x, u, fh, ct):
@@ -324,7 +327,8 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                       vel_cmd: float, ground_height: float,
                       height_cmd: float = 0.0, dtype=jnp.float64,
                       lin_chunk: int = 48, acc_dtype=None,
-                      scan_unroll: int = 1, analytic_lin: bool = True):
+                      scan_unroll: int = 1, analytic_lin: bool = True,
+                      dynamics: str = "sym"):
     """acc_dtype: dtype for the COST / violation ACCUMULATORS (V, hacc) in
     the rollout.  The solver's discrete decisions — line-search acceptance
     (MultiPhaseDDP.cpp:130-151), DDP convergence, AL thresholds — all
@@ -336,6 +340,13 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
     if acc_dtype is None:
         acc_dtype = dtype
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+    # model-term evaluation: "sym" = generated closed-form trig code
+    # (models/sym_dynamics.py, several times fewer ops per scan step);
+    # "ad" = jacfwd/jvp over the kinematics (the differential-test oracle)
+    wb_xdot_fn = (Q.wb_xdot_masked_sym if dynamics == "sym"
+                  else Q.wb_xdot_masked)
+    wb_jac_fn = (Q.wb_jac_masked_sym if dynamics == "sym"
+                 else Q.wb_jac_masked)
     plan = build_plan(specs, vel_cmd, height_cmd, dtype=np_dtype)
     P = len(specs)
     T = int(sum(s.n_steps for s in specs))
@@ -383,7 +394,8 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         u = u * t_isdyn
 
         # dynamics
-        x_next, y = _step_dynamics(t_dynid, x, u, fh, t_contact, t_dt)
+        x_next, y = _step_dynamics(t_dynid, x, u, fh, t_contact, t_dt,
+                                   wb_fn=wb_xdot_fn)
         y = y * t_isdyn
 
         # running cost + ReB barrier
@@ -536,7 +548,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             # lax.cond under vmap, both branches evaluate and a select
             # keeps the right one (the WB math is finite on embedded FB
             # states — M(q) is SPD for every configuration).
-            dxdx, dxdu, dFdx, dFdu = Q.wb_jac_masked(
+            dxdx, dxdu, dFdx, dFdu = wb_jac_fn(
                 x, u, t_contact[0], t_contact[1])
             A_wb = jnp.eye(XDIM, dtype=x.dtype) + dxdx * t_dt
             Bm_wb = dxdu * t_dt
@@ -556,7 +568,7 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             D = jnp.where(is_fb, jnp.zeros((YDIM, UDIM), x.dtype), dFdu)
         else:
             step = lambda xx, uu: _step_dynamics(
-                t_dynid, xx, uu, fh, t_contact, t_dt)
+                t_dynid, xx, uu, fh, t_contact, t_dt, wb_fn=wb_xdot_fn)
             A, Cm = jax.jacfwd(lambda xx: step(xx, u))(x)  # discrete A, dy/dx
             Bm, D = jax.jacfwd(lambda uu: step(x, uu))(u)
         lx, lu, ly = C.running_cost_grads(

@@ -34,12 +34,12 @@ class FusedSolveResult(NamedTuple):
 
 def build_fused_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                        height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
-                       scan_unroll=1, analytic_lin=True):
+                       scan_unroll=1, analytic_lin=True, dynamics="sym"):
     """Returns solve(x0) -> FusedSolveResult (jittable, vmappable)."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk,
                             scan_unroll=scan_unroll,
-                            analytic_lin=analytic_lin)
+                            analytic_lin=analytic_lin, dynamics=dynamics)
     plan = eng["plan"]
     rollout, linearize, backward = (
         eng["rollout"], eng["linearize"], eng["backward"]

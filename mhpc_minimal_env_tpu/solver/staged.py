@@ -60,7 +60,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
                         backward: str = "cl", acc_dtype=None,
                         monitor=None, ls_fastpath: int = 4,
-                        scan_unroll: int = 1, analytic_lin: bool = True):
+                        scan_unroll: int = 1, analytic_lin: bool = True,
+                        dynamics: str = "sym"):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
     identical to fused_hsddp_batched.build_fused_solver_batched.
 
@@ -86,7 +87,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk,
                             acc_dtype=acc_dtype, scan_unroll=scan_unroll,
-                            analytic_lin=analytic_lin)
+                            analytic_lin=analytic_lin, dynamics=dynamics)
     adt = acc_dtype if acc_dtype is not None else dtype
     plan = eng["plan"]
     P, T = eng["n_phases"], eng["T"]
@@ -191,6 +192,28 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
             viol=jnp.where(mask_b, a.viol, b.viol),
         )
 
+    _rw_stub = jnp.zeros((), dtype)
+
+    @jax.jit
+    def _result_where_core(mask_b, a: FusedSolveResult,
+                           b: FusedSolveResult):
+        """Jitted per-lane select (lin replaced by a scalar stub by the
+        caller): ONE dispatched program instead of ~100 eager op
+        dispatches per call — on the tunnel-attached TPU every eager op
+        pays launch latency, and this select runs ~11x per solve."""
+        wf = lambda ta, tb: jax.tree.map(
+            lambda x, y: _where_first(mask_b, x, y), ta, tb)
+        return FusedSolveResult(
+            nominal=traj_where(mask_b, a.nominal, b.nominal),
+            ctg=ctg_where(mask_b, a.ctg, b.ctg),
+            lin=a.lin,
+            alreb=wf(a.alreb, b.alreb),
+            cost=jnp.where(mask_b, a.cost, b.cost),
+            viol=jnp.where(mask_b, a.viol, b.viol),
+            reg=jnp.where(mask_b, a.reg, b.reg),
+            aborted=jnp.where(mask_b, a.aborted, b.aborted),
+        )
+
     def result_where(mask_b, a: FusedSolveResult, b: FusedSolveResult,
                      lin_out=None):
         """Per-lane select over a FusedSolveResult whose nominal/alreb are
@@ -202,18 +225,9 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         the lin tree is by far the largest state (~2.8 GB at B=1024), so
         selecting it per lane would triple transient memory for nothing.
         Defaults to b.lin."""
-        wf = lambda ta, tb: jax.tree.map(
-            lambda x, y: _where_first(mask_b, x, y), ta, tb)
-        return FusedSolveResult(
-            nominal=traj_where(mask_b, a.nominal, b.nominal),
-            ctg=ctg_where(mask_b, a.ctg, b.ctg),
-            lin=b.lin if lin_out is None else lin_out,
-            alreb=wf(a.alreb, b.alreb),
-            cost=jnp.where(mask_b, a.cost, b.cost),
-            viol=jnp.where(mask_b, a.viol, b.viol),
-            reg=jnp.where(mask_b, a.reg, b.reg),
-            aborted=jnp.where(mask_b, a.aborted, b.aborted),
-        )
+        out = _result_where_core(mask_b, a._replace(lin=_rw_stub),
+                                 b._replace(lin=_rw_stub))
+        return out._replace(lin=b.lin if lin_out is None else lin_out)
 
     @jax.jit
     def backward_retry_jit(plan, lin_b, ctg_prev, reg0_b):
@@ -438,7 +452,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         return st._replace(alreb=alreb, lin=_lin_stub)
 
     def solve_batched(x0_b, warm_x_b=None, warm_u_b=None, plan_=None,
-                      alreb0_=None, aborted0_b=None):
+                      alreb0_=None, aborted0_b=None, al_iter0=0,
+                      viol0_b=None):
         """Solve for a batch of initial states.
 
         warm_x_b/warm_u_b: optional nominal trajectories seeding the solve
@@ -449,6 +464,14 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         reuses every compiled stage graph.  aborted0_b: (B,) bool lanes to
         treat as already-aborted (MPC failure isolation: frozen lanes skip
         the line-search fastpath gate instead of forcing full sweeps).
+        al_iter0: AL iteration numbering offset — a resumed solve (e.g.
+        the f64 polish pass of the mixed-precision experiment) counts its
+        iterations as al_iter0+1.., so the ReB activation gate
+        (al_iter > 1) matches the reference's schedule for iteration 2+.
+        viol0_b: (B,) terminal violation entering the resumed solve (the
+        suspended solve's carry.viol) — the ReB gate also tests
+        viol <= 0.05, so a resume without it replays a different
+        algorithm.
         """
         plan = plan_ if plan_ is not None else eng["plan"]
         a0 = alreb0_ if alreb0_ is not None else alreb0
@@ -487,7 +510,9 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         # — a stub keeps the pytree structure at zero cost
         carry = FusedSolveResult(
             nominal=ws, ctg=ctg0, lin=_lin_stub, alreb=alreb_b,
-            cost=jnp.zeros((B,), adt), viol=jnp.zeros((B,), adt),
+            cost=jnp.zeros((B,), adt),
+            viol=(jnp.zeros((B,), adt) if viol0_b is None
+                  else jnp.asarray(viol0_b, adt)),
             reg=zeros_b(B),
             aborted=(jnp.zeros((B,), bool) if aborted0_b is None
                      else jnp.asarray(aborted0_b, bool)),
@@ -495,7 +520,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
 
         done = jnp.zeros((B,), bool)
         for i in range(opt.max_AL_iter):
-            new_carry = _al_iteration(plan, x0_b, ref_x, carry, i + 1)
+            new_carry = _al_iteration(plan, x0_b, ref_x, carry,
+                                      al_iter0 + i + 1)
             carry = result_where(done | carry.aborted, carry, new_carry)
             done = done | (carry.viol < opt.AL_thresh)
         return carry

@@ -213,3 +213,31 @@ def test_analytic_wb_jacobians_match_jacfwd():
             scale = max(1.0, float(np.abs(np.asarray(r)).max()))
             err = float(np.abs(np.asarray(r) - np.asarray(a)).max()) / scale
             assert err < 1e-12, (cf, ch, name, err)
+
+
+def test_sym_dynamics_match_ad():
+    """Generated closed-form model terms (models/sym_dynamics.py) ==
+    the AD-over-kinematics path, for the full dynamics and the full
+    Jacobian assembly, all contact gate patterns."""
+    import jax
+    import jax.numpy as jnp
+    from mhpc_minimal_env_tpu.models import quadruped as Q
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(50, 14)) * 0.5)
+    u = jnp.asarray(rng.normal(size=(50, 4)) * 5.0)
+    for cf, ch in [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]:
+        ad = jax.jit(jax.vmap(
+            Q.wb_xdot_masked, in_axes=(0, 0, None, None)))(x, u, cf, ch)
+        sym = jax.jit(jax.vmap(
+            Q.wb_xdot_masked_sym, in_axes=(0, 0, None, None)))(x, u, cf, ch)
+        for a, s in zip(ad, sym):
+            sc = max(1.0, float(np.abs(np.asarray(a)).max()))
+            assert float(np.abs(np.asarray(a - s)).max()) / sc < 1e-12
+        adj = jax.jit(jax.vmap(
+            Q.wb_jac_masked, in_axes=(0, 0, None, None)))(x, u, cf, ch)
+        symj = jax.jit(jax.vmap(
+            Q.wb_jac_masked_sym, in_axes=(0, 0, None, None)))(x, u, cf, ch)
+        for a, s in zip(adj, symj):
+            sc = max(1.0, float(np.abs(np.asarray(a)).max()))
+            assert float(np.abs(np.asarray(a - s)).max()) / sc < 1e-11

@@ -111,9 +111,34 @@ def main():
     lin = bench("linearize", linearize_b, plan, tr, ref_x, alreb_b, reb0, zf)
     bench("backward+retry", backward_retry, plan, lin, res.ctg,
           jnp.zeros((B,), dtype))
+    if st.get("ls_fused") is not None:
+        adt = jnp.float64
+        bench("ls_fused (probe+sel)", st["ls_fused"], plan, x0, tr,
+              res.ctg, ref_x, alreb_b, reb0,
+              jnp.full((B,), 1e9, adt), jnp.zeros((B,), dtype),
+              jnp.zeros((B,), bool))
+
+    # XLA cost analysis per stage executable: FLOPs + bytes accessed, the
+    # inputs to the PERF.md speed-of-light table
+    for name, fn, args in [
+        ("rollout", rollout_b, (plan, x0, res.nominal.x, res.nominal.u,
+                                res.ctg, eps0, ref_x, alreb_b, reb0, zf)),
+        ("linearize", linearize_b, (plan, tr, ref_x, alreb_b, reb0, zf)),
+        ("backward_retry", backward_retry,
+         (plan, lin, res.ctg, jnp.zeros((B,), dtype))),
+    ]:
+        try:
+            ca = fn.lower(*args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            fl = ca.get("flops", float("nan"))
+            by = ca.get("bytes accessed", float("nan"))
+            print(f"[prof] cost {name:16s} flops={fl:.3e} "
+                  f"bytes={by:.3e}", flush=True)
+        except Exception as e:
+            print(f"[prof] cost {name}: unavailable ({e})", flush=True)
     print("[prof] per solve: 1 warm rollout + 2 AL x [rollout + linearize "
-          "+ <=3 DDP x (backward_retry + LS(2 rollouts | 11-eps sweep) "
-          "+ linearize)]", flush=True)
+          "+ <=3 DDP x (backward_retry + ls_fused + linearize)]",
+          flush=True)
 
 
 if __name__ == "__main__":
