@@ -188,9 +188,11 @@ def worker():
 # --------------------------------------------------------------------------
 
 PRIMARY = [  # f64: the SLO-meeting fidelity path (headline)
-    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "384"}, 420),
-    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "256"}, 300),
-    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "64"}, 200),
+    # B=512 is the measured r4 optimum (105.6/s; 768 flattens to 103 —
+    # the sym-codegen engine is per-lane-compute-bound past ~512)
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "512"}, 420),
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "384"}, 300),
+    ({"MHPC_BENCH_DTYPE": "f64", "MHPC_BENCH_BATCH": "256"}, 200),
 ]
 SECONDARY = [  # f32: production-throughput point (reported as f32_*)
     ({"MHPC_BENCH_DTYPE": "f32", "MHPC_BENCH_BATCH": "1024"}, 280),

@@ -798,9 +798,12 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             # transform (impact-aware step, MultiPhaseDDP.cpp:299-341) sits
             # between this phase's start and the previous phase's terminal;
             # the stored CTG keeps the pre-handoff value (reference CTG[0]).
-            G_carry = jnp.where(t_isstart > 0, LA.mv(Px.T, G_out), G_out)
-            H_carry = jnp.where(
-                t_isstart > 0, LA.mm(Px.T, LA.mm(H_out, Px)), H_out)
+            # lax.cond (not where): evaluated at only P-1 of T steps.
+            G_carry, H_carry = jax.lax.cond(
+                t_isstart > 0,
+                lambda g, h, p: (LA.mv(p.T, g), LA.mm(p.T, LA.mm(h, p))),
+                lambda g, h, p: (g, h),
+                G_out, H_out, Px)
             return (G_carry, H_carry, dV, ok & ok_k), (
                 du * t_isdyn, Kk * t_isdyn, G_out
             )
@@ -870,9 +873,17 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
             G_out = jnp.where(t_isdyn > 0, G_new, G1)
             H_out = jnp.where(t_isdyn > 0, H_new, H1)
             dV = dV + t_isdyn * dV_k
-            G_carry = jnp.where(t_isstart > 0, LA.mtv_cl(Px, G_out), G_out)
-            H_carry = jnp.where(
-                t_isstart > 0, LA.mtm_cl(Px, LA.mm_cl(H_out, Px)), H_out)
+            # seam handoff as a REAL lax.cond (predicate is a per-step
+            # plan scalar, so XLA executes one branch): the two 14^3
+            # CL products are needed at only P-1 of T steps, and a
+            # jnp.where would evaluate them at every step — measured
+            # ~35% of the whole backward sweep's FLOPs (r4).
+            G_carry, H_carry = jax.lax.cond(
+                t_isstart > 0,
+                lambda g, h, p: (LA.mtv_cl(p, g),
+                                 LA.mtm_cl(p, LA.mm_cl(h, p))),
+                lambda g, h, p: (g, h),
+                G_out, H_out, Px)
             return (G_carry, H_carry, dV, ok & ok_k), (
                 du * t_isdyn, Kk * t_isdyn, G_out
             )

@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--cycles", type=int, default=4)
     ap.add_argument("--scenarios", type=int, default=8192)
     ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--wb-batch", type=int, default=64,
+                    help="batch for the wb_only_extended stress config "
+                         "(VERDICT r3: report it at a batched rung, not "
+                         "only B=1)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -57,6 +61,7 @@ def main(argv=None):
     kwargs = {
         "batched_mpc": dict(B=args.batch, n_cycles=args.cycles),
         "pod_sweep": dict(n_scenarios=args.scenarios, n_devices=args.devices),
+        "wb_only_extended": dict(B=args.wb_batch),
     }
     names = list(CONFIGS) if args.config == "all" else [args.config]
     for name in names:
