@@ -256,7 +256,7 @@ def run_batched_mpc(B: int = 1024, n_cycles: int = 4, dtype=None,
 # 4b. latency: per-solve wall time at the reference's operating point
 # --------------------------------------------------------------------------
 
-def run_latency(dtype=None, reps: int = 5, scan_unroll: int = 8,
+def run_latency(dtype=None, reps: int = 5, scan_unroll: int = 1,
                 B16: bool = True) -> Dict:
     """Single-solve latency (B=1) plus a small-batch rung (B=16, staged).
 
@@ -278,7 +278,7 @@ def run_latency(dtype=None, reps: int = 5, scan_unroll: int = 8,
     solve = jax.jit(build_fused_solver(
         list(problem.specs), problem.opt, problem.vel_cmd,
         problem.ground_height, problem.height_cmd, dtype,
-        scan_unroll=scan_unroll))
+        scan_unroll=scan_unroll)[0])
     x0 = jnp.asarray(X0_DEFAULT, dtype)
     res = solve(x0)
     res.cost.block_until_ready()
