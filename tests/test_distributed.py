@@ -17,6 +17,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-process: run with --runslow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
@@ -50,7 +52,6 @@ from mhpc_minimal_env_tpu.runtime.locomotion import (
 from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
 from jax.sharding import PartitionSpec as P
 
-pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
 assert jax.process_count() == nproc, jax.process_count()
 assert len(jax.devices()) == 4 * nproc, len(jax.devices())
 
