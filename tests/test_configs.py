@@ -19,7 +19,7 @@ pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --ru
 def test_config_registry_complete():
     assert set(CONFIGS) == {
         "mhpc_ctrl_default", "wb_only_extended", "multi_phase_bounding",
-        "batched_mpc", "pod_sweep",
+        "batched_mpc", "latency", "pod_sweep",
     }
 
 

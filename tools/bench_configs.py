@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--cycles", type=int, default=4)
     ap.add_argument("--scenarios", type=int, default=8192)
+    ap.add_argument("--chunk", type=int, default=1024,
+                    help="pod_sweep per-chunk lanes (use 512 for f64: the "
+                         "lin tree at 1024 f64 lanes is ~11 GB)")
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--wb-batch", type=int, default=64,
                     help="batch for the wb_only_extended stress config "
@@ -60,7 +63,8 @@ def main(argv=None):
     dtype = jnp.float32 if args.f32 else jnp.float64
     kwargs = {
         "batched_mpc": dict(B=args.batch, n_cycles=args.cycles),
-        "pod_sweep": dict(n_scenarios=args.scenarios, n_devices=args.devices),
+        "pod_sweep": dict(n_scenarios=args.scenarios, n_devices=args.devices,
+                          chunk=args.chunk),
         "wb_only_extended": dict(B=args.wb_batch),
     }
     names = list(CONFIGS) if args.config == "all" else [args.config]
