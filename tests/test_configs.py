@@ -13,7 +13,9 @@ from mhpc_minimal_env_tpu.configs import (
 from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion, X0_DEFAULT
 from mhpc_minimal_env_tpu.types import HSDDPOptions
 
-pytestmark = pytest.mark.slow  # full-size solves / multi-process: run with --runslow
+# only the solve-running tests are slow; the pure registry / structure
+# checks stay in the default fast tier so registry drift is caught there
+slow = pytest.mark.slow
 
 
 def test_config_registry_complete():
@@ -31,6 +33,7 @@ def test_wb_only_extended_problem_structure():
     assert p.opt.DDP_thresh <= 1e-6  # tightened convergence
 
 
+@slow
 def test_wb_only_solve_tiny():
     """WB-only (no hierarchy) problem solves: 4 WB phases at production dt
     with shortened horizons (the PD warm start is only Euler-stable near
@@ -46,6 +49,7 @@ def test_wb_only_solve_tiny():
     assert np.all(np.isfinite(np.asarray(res.nominal.u)))
 
 
+@slow
 def test_wb_only_graceful_abort_on_unstable_dt():
     """At dt=0.01 the bounding-PD warm-start rollout diverges (explicit
     Euler with the k=2200 leg spring is unstable for dt >= ~2e-3) — the

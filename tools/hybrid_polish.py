@@ -45,7 +45,10 @@ from mhpc_minimal_env_tpu.types import HSDDPOptions
 def dev_vs_golden(u_cl):
     g = np.load(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "golden", "reference_run.npz"))
-    return float(np.nanmax(np.abs(np.asarray(u_cl[..., 0]) - g["control"])))
+    u = np.asarray(u_cl[..., 0])
+    if not np.all(np.isfinite(u)):
+        return float("inf")  # never let NaN lanes pass the SLO silently
+    return float(np.max(np.abs(u - g["control"])))
 
 
 def main():
