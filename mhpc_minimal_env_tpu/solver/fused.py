@@ -323,12 +323,45 @@ def _chunk_size(T: int, target: int) -> int:
     return 1
 
 
+def _validate_constraint_structure(specs: List[PhaseSpec]) -> bool:
+    """True iff every phase's constraint block has the layout the
+    structured barrier path exploits (wb_path_constraints' invariant):
+
+      rows 0:8   torque limits  — Cu = [-I; I], Cx = Cy = 0
+      rows 8:16  joint limits   — eps_reb = 0 (weightless: they contribute
+                                  EXACTLY zero to cost and derivatives)
+      rows 16:   GRF rows       — Cy only, Cx = Cu = 0
+
+    FB phases are constraint-free.  Verified host-side so the structured
+    fast path (bit-identical elision of exact-zero terms) can never be
+    silently applied to a constraint set with different structure."""
+    eye4 = np.eye(4)
+    for s in specs:
+        if s.model != "wb":
+            continue
+        lc = CONSTR.wb_path_constraints(s.mode)
+        al = CONSTR.initial_al_reb(s.model, s.mode)
+        n = lc.b.shape[0]
+        if n < 16:
+            return False
+        ok = (
+            np.array_equal(lc.Cu[0:8], np.vstack([-eye4, eye4]))
+            and not lc.Cx[0:8].any() and not lc.Cy[0:8].any()
+            and not al["eps_reb"][8:16].any()
+            and not lc.Cx[16:].any() and not lc.Cu[16:].any()
+        )
+        if not ok:
+            return False
+    return True
+
+
 def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                       vel_cmd: float, ground_height: float,
                       height_cmd: float = 0.0, dtype=jnp.float64,
                       lin_chunk: int = 48, acc_dtype=None,
                       scan_unroll: int = 1, analytic_lin: bool = True,
-                      dynamics: str = "sym"):
+                      dynamics: str = "sym",
+                      structured_constraints: bool = True):
     """acc_dtype: dtype for the COST / violation ACCUMULATORS (V, hacc) in
     the rollout.  The solver's discrete decisions — line-search acceptance
     (MultiPhaseDDP.cpp:130-151), DDP convergence, AL thresholds — all
@@ -339,6 +372,17 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
     Default None = same as dtype (unchanged behavior)."""
     if acc_dtype is None:
         acc_dtype = dtype
+    # structured barrier path (r5): the constraint blocks are STRUCTURED —
+    # torque rows are +-I over u, joint-limit rows are weightless
+    # (eps_reb = 0 -> their barrier terms are EXACTLY 0.0 in float), GRF
+    # rows touch only y.  Skipping exact-zero contributions and spelling
+    # the +-I products as selections is BIT-IDENTICAL to the dense
+    # 19-row algebra (IEEE x + 0.0 == x; all elided products are 0 * finite)
+    # while cutting ~30% of the linearizer's FLOPs and several ops from
+    # every issue-bound scan step.  Host-validated; falls back to the dense
+    # path for any constraint layout it does not recognize.
+    structured = structured_constraints and _validate_constraint_structure(
+        specs)
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     # model-term evaluation: "sym" = generated closed-form trig code
     # (models/sym_dynamics.py, several times fewer ops per scan step);
@@ -401,10 +445,27 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         # running cost + ReB barrier
         l = C.running_cost(x, u, y, t_refx, t_refu, t_refy,
                            t_qw, t_rw, t_sw, t_dt)
-        g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
-        g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
-        Bv, _, _ = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
-        l = l + reb_on * jnp.sum(alreb.eps_reb[t_pidx] * Bv * t_cvalid) * t_dt
+        delta_p = alreb.delta[t_pidx]
+        eps_p = alreb.eps_reb[t_pidx]
+        if structured:
+            # structured barrier (see make_fused_engine): torque rows
+            # g = -+u + 33 directly, GRF rows from the 3 Cy rows; the
+            # weightless joint rows contribute exactly 0.0 and are elided
+            gt = jnp.concatenate([-u, u]) + t_cb[0:8]
+            gt = jnp.where(t_cvalid[0:8] > 0, gt, jnp.ones_like(gt))
+            gy = LA.mv(t_Cy[16:], y) + t_cb[16:]
+            gy = jnp.where(t_cvalid[16:] > 0, gy, jnp.ones_like(gy))
+            Bt, _, _ = CONSTR.reduced_barrier(gt, delta_p[0:8])
+            By, _, _ = CONSTR.reduced_barrier(gy, delta_p[16:])
+            bsum = jnp.sum(jnp.concatenate(
+                [eps_p[0:8] * Bt * t_cvalid[0:8],
+                 eps_p[16:] * By * t_cvalid[16:]]))
+        else:
+            g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
+            g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
+            Bv, _, _ = CONSTR.reduced_barrier(g, delta_p)
+            bsum = jnp.sum(eps_p * Bv * t_cvalid)
+        l = l + reb_on * bsum * t_dt
         V = V + (t_isdyn * l).astype(acc_dtype)
 
         # terminal cost + AL penalty + switching constraint
@@ -577,17 +638,41 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         lxx = jnp.diag(2.0 * t_dt * t_qw)
         luu = jnp.diag(2.0 * t_dt * t_rw)
         lyy = jnp.diag(2.0 * t_dt * t_sw)
-        g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
-        g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
-        _, Bz, Bzz = CONSTR.reduced_barrier(g, alreb.delta[t_pidx])
-        w1 = reb_on * alreb.eps_reb[t_pidx] * Bz * t_cvalid * t_dt
-        w2 = reb_on * alreb.eps_reb[t_pidx] * Bzz * t_cvalid * t_dt
-        lx = lx + LA.mv(t_Cx.T, w1)
-        lu = lu + LA.mv(t_Cu.T, w1)
-        ly = ly + LA.mv(t_Cy.T, w1)
-        lxx = lxx + LA.mm(t_Cx.T, w2[:, None] * t_Cx)
-        luu = luu + LA.mm(t_Cu.T, w2[:, None] * t_Cu)
-        lyy = lyy + LA.mm(t_Cy.T, w2[:, None] * t_Cy)
+        delta_p = alreb.delta[t_pidx]
+        eps_p = alreb.eps_reb[t_pidx]
+        if structured:
+            # structured barrier derivatives (see make_fused_engine):
+            # lx/lxx are untouched (Cx lives only on the weightless joint
+            # rows), Cu^T diag(w) Cu is the diagonal w_lo + w_hi, the GRF
+            # block is the 3 Cy rows — bit-identical elision of exact-zero
+            # terms, ~30% of the dense linearizer's barrier FLOPs removed
+            gt = jnp.concatenate([-u, u]) + t_cb[0:8]
+            gt = jnp.where(t_cvalid[0:8] > 0, gt, jnp.ones_like(gt))
+            Cy3 = t_Cy[16:]
+            gy = LA.mv(Cy3, y) + t_cb[16:]
+            gy = jnp.where(t_cvalid[16:] > 0, gy, jnp.ones_like(gy))
+            _, Bzt, Bzzt = CONSTR.reduced_barrier(gt, delta_p[0:8])
+            _, Bzy, Bzzy = CONSTR.reduced_barrier(gy, delta_p[16:])
+            w1t = reb_on * eps_p[0:8] * Bzt * t_cvalid[0:8] * t_dt
+            w2t = reb_on * eps_p[0:8] * Bzzt * t_cvalid[0:8] * t_dt
+            w1y = reb_on * eps_p[16:] * Bzy * t_cvalid[16:] * t_dt
+            w2y = reb_on * eps_p[16:] * Bzzy * t_cvalid[16:] * t_dt
+            lu = lu + (-w1t[0:4] + w1t[4:8])
+            ly = ly + LA.mv(Cy3.T, w1y)
+            luu = luu + jnp.diag(w2t[0:4] + w2t[4:8])
+            lyy = lyy + LA.mm(Cy3.T, w2y[:, None] * Cy3)
+        else:
+            g = LA.mv(t_Cx, x) + LA.mv(t_Cu, u) + LA.mv(t_Cy, y) + t_cb
+            g = jnp.where(t_cvalid > 0, g, jnp.ones_like(g))
+            _, Bz, Bzz = CONSTR.reduced_barrier(g, delta_p)
+            w1 = reb_on * eps_p * Bz * t_cvalid * t_dt
+            w2 = reb_on * eps_p * Bzz * t_cvalid * t_dt
+            lx = lx + LA.mv(t_Cx.T, w1)
+            lu = lu + LA.mv(t_Cu.T, w1)
+            ly = ly + LA.mv(t_Cy.T, w1)
+            lxx = lxx + LA.mm(t_Cx.T, w2[:, None] * t_Cx)
+            luu = luu + LA.mm(t_Cu.T, w2[:, None] * t_Cu)
+            lyy = lyy + LA.mm(t_Cy.T, w2[:, None] * t_Cy)
         # terminal cost gradient (AL terms added by the caller / _lin_step)
         phix = t_qfw * (x - t_refx)
         phixx = jnp.diag(t_qfw)
@@ -755,40 +840,55 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
         return lin_cl
 
     # -------------------------------------------------------------- backward
+    # Stacked-operand Riccati step (r5): the body is ISSUE-bound (~60
+    # dependency-chained small ops per step, PERF.md §16), so the lever is
+    # op COUNT, not FLOPs.  Column-stacking Z = [A | B] (14 x 18) and
+    # W = [C | D] (4 x 18) merges the 14 separate Q-expansion contractions
+    # into 6, and stacking [Qu | Qux] (4 x 15) merges the gain/CTG products
+    # into 2 more — 21 contractions/step -> 10.  Every output element is
+    # the SAME multiply-reduce over the SAME contraction axis in the same
+    # order (stacking only extends non-contracted axes; QuxT_Quu_inv
+    # reuses -Kk^T, exact because Quu_inv is explicitly symmetrized), so
+    # results are BIT-IDENTICAL to the unstacked form on CPU f64 — the
+    # cross-engine equivalence tests pin this.
     def backward(plan, lin: FusedLin, reg):
         eye_x = jnp.eye(XDIM, dtype=lin.A.dtype)
         eye_u = jnp.eye(UDIM, dtype=lin.A.dtype)
 
         def body(carry, inp):
             G1, H1, dV, ok = carry
-            (A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx, Px,
+            (AB, CD, lx, lu, ly, lxx, luu, lyy, phix, phixx, Px,
              t_isdyn, t_isterm, t_isstart) = inp
 
             # terminal gridpoint: initialize from terminal cost
             G1 = jnp.where(t_isterm > 0, phix + G1, G1)
             H1 = jnp.where(t_isterm > 0, phixx + H1, H1)
 
-            # Riccati step (MHPC_CompoundTypes.h:117-144)
-            Qx = lx + LA.mv(A.T, G1) + LA.mv(Cm.T, ly)
-            Qu = lu + LA.mv(Bm.T, G1) + LA.mv(D.T, ly)
-            lyyC = LA.mm(lyy, Cm)
-            lyyD = LA.mm(lyy, D)
-            H1A = LA.mm(H1, A)
-            H1B = LA.mm(H1, Bm)
-            Qxx = lxx + LA.mm(Cm.T, lyyC) + LA.mm(A.T, H1A)
-            Quu = luu + LA.mm(D.T, lyyD) + LA.mm(Bm.T, H1B)
-            Qux = LA.mm(D.T, lyyC) + LA.mm(Bm.T, H1A)
-            Qxx = Qxx + eye_x * reg
-            Quu = Quu + eye_u * reg
+            # Riccati step (MHPC_CompoundTypes.h:117-144), stacked operands
+            ABtG1 = LA.mv(AB.T, G1)              # [A^T G1 | B^T G1]
+            CDtly = LA.mv(CD.T, ly)              # [C^T ly | D^T ly]
+            Qx = lx + ABtG1[:XDIM] + CDtly[:XDIM]
+            Qu = lu + ABtG1[XDIM:] + CDtly[XDIM:]
+            lyyCD = LA.mm(lyy, CD)
+            H1AB = LA.mm(H1, AB)
+            CDq = LA.mm(CD.T, lyyCD)             # [C|D]^T lyy [C|D]
+            ABq = LA.mm(AB.T, H1AB)              # [A|B]^T H1  [A|B]
+            Qxx = lxx + CDq[:XDIM, :XDIM] + ABq[:XDIM, :XDIM] + eye_x * reg
+            Quu = luu + CDq[XDIM:, XDIM:] + ABq[XDIM:, XDIM:] + eye_u * reg
+            Qux = CDq[XDIM:, :XDIM] + ABq[XDIM:, :XDIM]
             ok_k = LA.is_pd_chol(Quu, shift=1e-9) | (t_isdyn <= 0)
             Quu_raw_inv = LA.inv4(Quu)
             Quu_inv = (Quu_raw_inv + Quu_raw_inv.T) / 2.0
             Qxx = (Qxx + Qxx.T) / 2.0
-            du = -LA.mv(Quu_inv, Qu)
-            Kk = -LA.mm(Quu_inv, Qux)
-            QuxT_Quu_inv = LA.mm(Qux.T, Quu_inv)
-            G_new = Qx - LA.mv(QuxT_Quu_inv, Qu)
-            H_new = Qxx - LA.mm(QuxT_Quu_inv, Qux)
+            QuQux = jnp.concatenate([Qu[:, None], Qux], axis=1)  # (4, 15)
+            duK = -LA.mm(Quu_inv, QuQux)         # [du | Kfb]
+            du = duK[:, 0]
+            Kk = duK[:, 1:]
+            QuxT_Quu_inv = -Kk.T                 # == Qux^T Quu_inv (sym)
+            GH = jnp.concatenate([Qx[:, None], Qxx], axis=1) - LA.mm(
+                QuxT_Quu_inv, QuQux)             # [G_new | H_new]
+            G_new = GH[:, 0]
+            H_new = GH[:, 1:]
             dV_k = -LA.vdot(Qu, LA.mv(Quu_raw_inv, Qu))
 
             G_out = jnp.where(t_isdyn > 0, G_new, G1)
@@ -808,7 +908,10 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                 du * t_isdyn, Kk * t_isdyn, G_out
             )
 
-        inputs = (lin.A, lin.Bm, lin.Cm, lin.D, lin.lx, lin.lu, lin.ly,
+        # stack once outside the scan (same bytes as A/Bm/Cm/D separately)
+        AB_all = jnp.concatenate([lin.A, lin.Bm], axis=-1)
+        CD_all = jnp.concatenate([lin.Cm, lin.D], axis=-1)
+        inputs = (AB_all, CD_all, lin.lx, lin.lu, lin.ly,
                   lin.lxx, lin.luu, lin.lyy, lin.phix, lin.phixx, lin.Px,
                   plan.is_dyn, plan.is_term, plan.is_start)
         dt_ = lin.A.dtype
@@ -842,32 +945,38 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
 
         def body(carry, inp):
             G1, H1, dV, ok = carry
-            (A, Bm, Cm, D, lx, lu, ly, lxx, luu, lyy, phix, phixx, Px,
+            (AB, CD, lx, lu, ly, lxx, luu, lyy, phix, phixx, Px,
              t_isdyn, t_isterm, t_isstart) = inp
 
             G1 = jnp.where(t_isterm > 0, phix + G1, G1)
             H1 = jnp.where(t_isterm > 0, phixx + H1, H1)
 
-            Qx = lx + LA.mtv_cl(A, G1) + LA.mtv_cl(Cm, ly)
-            Qu = lu + LA.mtv_cl(Bm, G1) + LA.mtv_cl(D, ly)
-            lyyC = LA.mm_cl(lyy, Cm)
-            lyyD = LA.mm_cl(lyy, D)
-            H1A = LA.mm_cl(H1, A)
-            H1B = LA.mm_cl(H1, Bm)
-            Qxx = lxx + LA.mtm_cl(Cm, lyyC) + LA.mtm_cl(A, H1A)
-            Quu = luu + LA.mtm_cl(D, lyyD) + LA.mtm_cl(Bm, H1B)
-            Qux = LA.mtm_cl(D, lyyC) + LA.mtm_cl(Bm, H1A)
-            Qxx = Qxx + eye_x * regx
-            Quu = Quu + eye_u * regx
+            # stacked Q-expansion (see `backward`: bit-identical sums,
+            # 21 -> 10 contractions on the issue-bound critical path)
+            ABtG1 = LA.mtv_cl(AB, G1)            # (18, B)
+            CDtly = LA.mtv_cl(CD, ly)            # (18, B)
+            Qx = lx + ABtG1[:XDIM] + CDtly[:XDIM]
+            Qu = lu + ABtG1[XDIM:] + CDtly[XDIM:]
+            lyyCD = LA.mm_cl(lyy, CD)            # (4, 18, B)
+            H1AB = LA.mm_cl(H1, AB)              # (14, 18, B)
+            CDq = LA.mtm_cl(CD, lyyCD)           # (18, 18, B)
+            ABq = LA.mtm_cl(AB, H1AB)            # (18, 18, B)
+            Qxx = lxx + CDq[:XDIM, :XDIM] + ABq[:XDIM, :XDIM] + eye_x * regx
+            Quu = luu + CDq[XDIM:, XDIM:] + ABq[XDIM:, XDIM:] + eye_u * regx
+            Qux = CDq[XDIM:, :XDIM] + ABq[XDIM:, :XDIM]
             ok_k = LA.is_pd_chol_cl(Quu, shift=1e-9) | (t_isdyn <= 0)
             Quu_raw_inv = LA.inv4_cl(Quu)
             Quu_inv = LA.sym_cl(Quu_raw_inv)
             Qxx = LA.sym_cl(Qxx)
-            du = -LA.mv_cl(Quu_inv, Qu)
-            Kk = -LA.mm_cl(Quu_inv, Qux)
-            QuxT_Quu_inv = LA.mtm_cl(Qux, Quu_inv)
-            G_new = Qx - LA.mv_cl(QuxT_Quu_inv, Qu)
-            H_new = Qxx - LA.mm_cl(QuxT_Quu_inv, Qux)
+            QuQux = jnp.concatenate([Qu[:, None], Qux], axis=1)  # (4,15,B)
+            duK = -LA.mm_cl(Quu_inv, QuQux)      # [du | Kfb]
+            du = duK[:, 0]
+            Kk = duK[:, 1:]
+            QuxT_Quu_inv = -jnp.swapaxes(Kk, 0, 1)  # == Qux^T Quu_inv (sym)
+            GH = jnp.concatenate([Qx[:, None], Qxx], axis=1) - LA.mm_cl(
+                QuxT_Quu_inv, QuQux)             # [G_new | H_new]
+            G_new = GH[:, 0]
+            H_new = GH[:, 1:]
             dV_k = -LA.vdot_cl(Qu, LA.mv_cl(Quu_raw_inv, Qu))
 
             G_out = jnp.where(t_isdyn > 0, G_new, G1)
@@ -888,7 +997,12 @@ def make_fused_engine(specs: List[PhaseSpec], opt: HSDDPOptions,
                 du * t_isdyn, Kk * t_isdyn, G_out
             )
 
-        inputs = (lin.A, lin.Bm, lin.Cm, lin.D, lin.lx, lin.lu, lin.ly,
+        # stack once outside the scan: (T, 14, 18, B) / (T, 4, 18, B)
+        # transients (same bytes as the four inputs; ~0.9 GB at B=512 f64,
+        # within the measured headroom — B=768 f64 fits with the old form)
+        AB_all = jnp.concatenate([lin.A, lin.Bm], axis=2)
+        CD_all = jnp.concatenate([lin.Cm, lin.D], axis=2)
+        inputs = (AB_all, CD_all, lin.lx, lin.lu, lin.ly,
                   lin.lxx, lin.luu, lin.lyy, lin.phix, lin.phixx, lin.Px,
                   plan.is_dyn, plan.is_term, plan.is_start)
         init = (jnp.zeros((XDIM, B), dt_), jnp.zeros((XDIM, XDIM, B), dt_),

@@ -34,8 +34,17 @@ class FusedSolveResult(NamedTuple):
 
 def build_fused_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                        height_cmd=0.0, dtype=jnp.float64, lin_chunk=48,
-                       scan_unroll=1, analytic_lin=True, dynamics="sym"):
-    """Returns solve(x0) -> FusedSolveResult (jittable, vmappable)."""
+                       scan_unroll=1, analytic_lin=True, dynamics="sym",
+                       elide_last_lin=False):
+    """Returns solve(x0) -> FusedSolveResult (jittable, vmappable).
+
+    elide_last_lin: peel the final DDP iteration of each AL pass out of
+    the fori_loop and skip its linearization — the output is dead for the
+    SOLVE (the next AL pass re-linearizes; trajectories/cost/gains are
+    bit-identical) but it is what populates result.lin, which the debug
+    dump (runtime/logging.py gradient file, MHPCLocomotion.cpp:293-380)
+    reads.  Default False for dump fidelity; the latency serving path
+    (configs.run_latency) enables it for ~2 of 8 linearize calls saved."""
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk,
                             scan_unroll=scan_unroll,
@@ -96,14 +105,23 @@ def build_fused_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         return FusedALReB(sigma=sigma, lam=lam, delta=delta,
                           delta_min=alreb.delta_min, eps_reb=eps_reb)
 
-    def _ddp_iteration(x0, ref_x, st: FusedSolveResult, reb_on):
+    def _ddp_iteration(x0, ref_x, st: FusedSolveResult, reb_on,
+                       need_lin=True):
         cost_prev = st.cost
         reg, aborted, ctg, dVexp = backward_with_retry(st.lin, st.ctg, st.reg)
         reg = reg / 20.0
         reg = jnp.where(reg < 1e-6, 0.0, reg)
         tr = line_search(x0, st.nominal, ctg, ref_x, st.alreb, reb_on,
                          cost_prev, dVexp)
-        lin = linearize(tr, ref_x, st.alreb, reb_on, f0())
+        # the reference re-linearizes after every line search
+        # (MultiPhaseDDP.cpp:262) including the LAST DDP iteration of each
+        # AL pass, whose output is dead (the next AL iteration re-rolls
+        # and re-linearizes under updated AL/ReB weights).  The caller
+        # peels that final iteration out of the fori_loop and passes
+        # need_lin=False — 2 of 8 linearize calls elided per default
+        # solve, bit-identical results (pure dead computation).
+        lin = linearize(tr, ref_x, st.alreb, reb_on, f0()) if need_lin \
+            else st.lin
         out = st._replace(nominal=tr, ctg=ctg, lin=lin, cost=tr.V,
                           viol=tr.viol, reg=reg)
         converged = (cost_prev - tr.V) < opt.DDP_thresh
@@ -119,15 +137,25 @@ def build_fused_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         st = carry._replace(nominal=tr, lin=lin, cost=tr.V, viol=tr.viol,
                             reg=f0())
 
-        def ddp_body(_, lc):
-            st, done = lc
-            new_st, conv = _ddp_iteration(x0, ref_x, st, reb_on)
+        def ddp_body_core(st, done, need_lin):
+            new_st, conv = _ddp_iteration(x0, ref_x, st, reb_on, need_lin)
             active = (~done) & (~st.aborted)
             st = tree_where(active, new_st, st)
             done = done | (active & (conv | new_st.aborted))
-            return (st, done)
+            return st, done
 
-        st, _ = jax.lax.fori_loop(0, opt.max_DDP_iter, ddp_body, (st, fF()))
+        def ddp_body(_, lc):
+            st, done = lc
+            return ddp_body_core(st, done, True)
+
+        if elide_last_lin:
+            # peel the last DDP iteration so its dead linearize is elided
+            st, done = jax.lax.fori_loop(0, opt.max_DDP_iter - 1, ddp_body,
+                                         (st, fF()))
+            st, _ = ddp_body_core(st, done, False)
+        else:
+            st, _ = jax.lax.fori_loop(0, opt.max_DDP_iter, ddp_body,
+                                      (st, fF()))
         alreb = tree_where(
             st.aborted, st.alreb,
             update_al_reb(st.alreb, st.nominal.h, st.viol, reb_on),

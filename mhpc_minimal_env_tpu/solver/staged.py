@@ -61,7 +61,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         backward: str = "cl", acc_dtype=None,
                         monitor=None, ls_fastpath: int = 4,
                         scan_unroll: int = 1, analytic_lin: bool = True,
-                        dynamics: str = "sym"):
+                        dynamics: str = "sym",
+                        structured_constraints: bool = True):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
     identical to fused_hsddp_batched.build_fused_solver_batched.
 
@@ -87,7 +88,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     eng = make_fused_engine(specs, opt, vel_cmd, ground_height,
                             height_cmd, dtype, lin_chunk=lin_chunk,
                             acc_dtype=acc_dtype, scan_unroll=scan_unroll,
-                            analytic_lin=analytic_lin, dynamics=dynamics)
+                            analytic_lin=analytic_lin, dynamics=dynamics,
+                            structured_constraints=structured_constraints)
     adt = acc_dtype if acc_dtype is not None else dtype
     plan = eng["plan"]
     P, T = eng["n_phases"], eng["T"]
@@ -169,9 +171,20 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
     # consumers of the old tree still pending at dispatch time.
     # keep_unused=True: without it jit prunes the (computationally unused)
     # dead_lin parameter and the aliasing never reaches XLA — verified via
-    # the `tf.aliasing_output` attributes in the lowered HLO
-    linearize_donate = jax.jit(_lin_dead, donate_argnums=(6,),
-                               keep_unused=True)
+    # the `tf.aliasing_output` attributes in the lowered HLO.
+    # The aliasing is safe ONLY under in-order single-stream execution
+    # (TPU, XLA:CPU): pending consumers of the old tree (backward retry,
+    # line-search rollouts) must have drained before the aliased write.  An
+    # out-of-order / multi-stream backend (GPU) would race, so fall back to
+    # the non-donating program there (ADVICE r4).
+    if jax.default_backend() in ("tpu", "cpu", "axon"):
+        linearize_donate = jax.jit(_lin_dead, donate_argnums=(6,),
+                                   keep_unused=True)
+    else:
+        linearize_donate = jax.jit(lambda plan_, tr, ref_x, alreb_b,
+                                   reb_on_b, flag, dead_lin:
+                                   _lin_fn(plan_, tr, ref_x, alreb_b,
+                                           reb_on_b, flag))
 
     if cl:
         backward_b = eng["backward_cl_p"]
@@ -350,9 +363,16 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                 return tr, acc_k
 
             def full(_):
-                V_bl, _, _ = rollout_V_be(
-                    plan_, x0_b, nominal.x, nominal.u, ctg_, eps_all,
+                # evaluate only the REMAINING candidates (the probe's K
+                # trial costs are reused verbatim — the cost-only rollout
+                # accumulates the identical V, so the stacked (B, L) table
+                # equals the full sweep's bit for bit) then one rollout at
+                # each lane's first-accepted eps.  Semantics stay exactly
+                # MultiPhaseDDP.cpp:130-151 first-accepted-in-sequence.
+                V_rest, _, _ = rollout_V_be(
+                    plan_, x0_b, nominal.x, nominal.u, ctg_, eps_all[K:],
                     ref_x, alreb_b, reb_on_b, zf)
+                V_bl = jnp.concatenate([trK.V.T, V_rest], axis=1)
                 eps_s, acc, _ = ls_select(V_bl, cost_prev_b, dVexp_b)
                 tr = eng["rollout_cl_p"](plan_, x0_b, nominal.x, nominal.u,
                                          ctg_, eps_s, ref_x, alreb_b,
@@ -423,7 +443,8 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
             aborted, st._replace(aborted=st.aborted | aborted), out)
         return out, converged
 
-    def _al_iteration(plan, x0_b, ref_x, carry: FusedSolveResult, al_iter):
+    def _al_iteration(plan, x0_b, ref_x, carry: FusedSolveResult, al_iter,
+                      max_ddp=None):
         B = x0_b.shape[0]
         reb_on_b = (jnp.asarray(bool(opt.ReB_active))
                     & (al_iter > 1) & (carry.viol <= 0.05)).astype(dtype)
@@ -436,11 +457,12 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         st = carry._replace(nominal=tr, lin=lin, cost=tr.V, viol=tr.viol,
                             reg=jnp.zeros((B,), dtype))
 
+        n_ddp = opt.max_DDP_iter if max_ddp is None else int(max_ddp)
         done = jnp.zeros((B,), bool)
-        for it in range(opt.max_DDP_iter):
+        for it in range(n_ddp):
             new_st, conv = _ddp_iteration(
                 plan, x0_b, ref_x, st, reb_on_b,
-                need_lin=(it + 1 < opt.max_DDP_iter))
+                need_lin=(it + 1 < n_ddp))
             active = (~done) & (~st.aborted)
             st = result_where(active, new_st, st, lin_out=new_st.lin)
             done = done | (active & (conv | new_st.aborted))
@@ -453,7 +475,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
 
     def solve_batched(x0_b, warm_x_b=None, warm_u_b=None, plan_=None,
                       alreb0_=None, aborted0_b=None, al_iter0=0,
-                      viol0_b=None):
+                      viol0_b=None, max_al=None, max_ddp=None):
         """Solve for a batch of initial states.
 
         warm_x_b/warm_u_b: optional nominal trajectories seeding the solve
@@ -472,6 +494,13 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         suspended solve's carry.viol) — the ReB gate also tests
         viol <= 0.05, so a resume without it replays a different
         algorithm.
+        max_al/max_ddp: per-call iteration-budget overrides (default:
+        opt.max_AL_iter / opt.max_DDP_iter).  The budget lives only in
+        these host-side loops, so a deeper budget REUSES every compiled
+        stage graph — this is what the two-tier fleet solve
+        (configs.solve_two_tier) exploits: default budget for the fleet,
+        the measured convergence budget (3 AL x 5 DDP, PERF.md §17) for
+        the gathered tail lanes, zero extra compiles at equal batch shape.
         """
         plan = plan_ if plan_ is not None else eng["plan"]
         a0 = alreb0_ if alreb0_ is not None else alreb0
@@ -519,9 +548,9 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
         )
 
         done = jnp.zeros((B,), bool)
-        for i in range(opt.max_AL_iter):
+        for i in range(opt.max_AL_iter if max_al is None else int(max_al)):
             new_carry = _al_iteration(plan, x0_b, ref_x, carry,
-                                      al_iter0 + i + 1)
+                                      al_iter0 + i + 1, max_ddp=max_ddp)
             carry = result_where(done | carry.aborted, carry, new_carry)
             done = done | (carry.viol < opt.AL_thresh)
         return carry
