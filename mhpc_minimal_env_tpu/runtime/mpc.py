@@ -152,7 +152,8 @@ class RecedingHorizonMPC:
 
         return tail
 
-    def run_batched(self, x0_batch, n_cycles: int, cmode: int = 1):
+    def run_batched(self, x0_batch, n_cycles: int, cmode: int = 1,
+                    first_cycle_budget=None):
         """Receding-horizon MPC over a (B, 14) scenario batch.  Every cycle
         dispatches the staged solve (stage graphs shared across modes) plus
         one small jitted execute+rotate program; the batch stays
@@ -164,19 +165,38 @@ class RecedingHorizonMPC:
         whose plant state goes non-finite is FROZEN — its plant state
         stops advancing and it is excluded from subsequent statistics via
         the returned `alive` mask — so one diverged scenario cannot
-        poison fleet metrics or its own downstream cycles with NaNs."""
+        poison fleet metrics or its own downstream cycles with NaNs.
+
+        first_cycle_budget: optional (max_AL, max_DDP) for CYCLE 0 ONLY.
+        Every unconverged tail lane observed in the fleet diagnosis first
+        exceeds the gate at the cold-start cycle (tools/mpc_tail_diag.py,
+        PERF.md §17) — its first, bounding-PD-warm-started solve does not
+        converge inside the reference's fixed 2 AL x <=3 DDP budget and
+        the receding-horizon loop inherits the debt.  Deepening only that
+        cycle to the measured convergence budget (3, 5) drove every tail
+        lane healthy (fleet max final viol 0.605 -> 0.055) at ~1.1x the
+        8-cycle cost.  The budget lives in host loops, so no recompile."""
         x = jnp.asarray(x0_batch, dtype=self.dtype)
         B = x.shape[0]
         warm_x = warm_u = None
         alive = jnp.ones((B,), bool)
         out = []
-        for _ in range(n_cycles):
+        for cyc in range(n_cycles):
+            deep = first_cycle_budget if (cyc == 0 and first_cycle_budget
+                                          ) else (None, None)
             res = self._solve(x, warm_x, warm_u,
                               plan_=self._plans[cmode],
                               alreb0_=self._alreb0[cmode],
-                              aborted0_b=~alive)
+                              aborted0_b=~alive,
+                              max_al=deep[0], max_ddp=deep[1])
             x_next, xs, us, warm_x, warm_u = self._tails_b[cmode](
                 x, res.nominal.x, res.nominal.u, res.ctg.Kfb)
+            # the dead-lane masking below hard-codes the channel-last
+            # (T, ch, B) warm layout; fail loudly if a future solver
+            # option ever emits batch-major warm arrays here
+            assert warm_x.shape[-1] == B and warm_u.shape[-1] == B, (
+                f"warm arrays must be channel-last (T, ch, B={B}); got "
+                f"{warm_x.shape} / {warm_u.shape}")
             bad = res.aborted | ~jnp.all(jnp.isfinite(x_next), axis=-1)
             alive = alive & ~bad
             x_next = jnp.where(alive[:, None], x_next, x)

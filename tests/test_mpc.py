@@ -28,6 +28,33 @@ def test_mpc_cycles_advance_plant():
     )
 
 
+def test_mpc_first_cycle_budget():
+    """first_cycle_budget deepens ONLY the cold-start solve (the
+    productized tail remedy, PERF.md §17): with a deliberately starved
+    default budget (1 DDP iteration), granting cycle 0 more iterations
+    must not hurt — and later cycles still run the default budget (same
+    compiled stages; the call only changes host loop counts)."""
+    mpc = RecedingHorizonMPC(
+        n_wbphase=1, n_fbphase=1, duration_scale=0.1,
+        opt=HSDDPOptions(max_AL_iter=1, max_DDP_iter=1),
+    )
+    rng = np.random.default_rng(5)
+    x0_b = X0_DEFAULT[None, :] + 0.005 * rng.normal(size=(2, 14))
+    out_def = mpc.run_batched(x0_b, n_cycles=2)
+    # same AL count, deeper DDP: within one AL iteration the line search
+    # only ever accepts cost decreases, so cycle-0 cost is comparable
+    out_deep = mpc.run_batched(x0_b, n_cycles=2, first_cycle_budget=(1, 3))
+    for o in (out_def, out_deep):
+        assert np.all(np.isfinite(np.asarray(o[0].cost)))
+    # the deeper cycle-0 budget was actually applied: more DDP iterations
+    # move the (unconverged at 1 iteration) solution
+    assert not np.allclose(np.asarray(out_def[0].cost),
+                           np.asarray(out_deep[0].cost))
+    # and it improves (or preserves) the cycle-0 objective per live lane
+    assert np.all(np.asarray(out_deep[0].cost)
+                  <= np.asarray(out_def[0].cost) + 1e-9)
+
+
 def test_mpc_run_batched_matches_single():
     """run_batched lane semantics == the single-scenario loop.
 
