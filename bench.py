@@ -29,7 +29,7 @@ in ~10-70 s each on the tunneled TPU and land in the committed persistent
 cache (.jax_cache_tpu), so driver runs start warm.
 
 Env knobs: MHPC_BENCH_BATCH, MHPC_BENCH_REPS, MHPC_BENCH_DTYPE (f64|f32),
-MHPC_BENCH_ENGINE (staged|batched|vmap), MHPC_BENCH_BUDGET (total seconds,
+MHPC_BENCH_ENGINE (staged|vmap), MHPC_BENCH_BUDGET (total seconds,
 default 520), MHPC_BENCH_SECONDARY=0 to skip the f32 rung.
 """
 import json
@@ -61,19 +61,9 @@ def build_solver(engine, dtype, problem, lin_chunk):
             list(problem.specs), problem.opt, problem.vel_cmd,
             problem.ground_height, problem.height_cmd, dtype,
             lin_chunk=lin_chunk, acc_dtype=acc,
+            ls_fastpath=int(os.environ.get("MHPC_LS_K", "2")),
         )
         return solve_b, "cl"
-    if engine == "batched":
-        from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
-            build_fused_solver_batched,
-        )
-
-        solve_b, _ = build_fused_solver_batched(
-            list(problem.specs), problem.opt, problem.vel_cmd,
-            problem.ground_height, problem.height_cmd, dtype,
-            lin_chunk=lin_chunk,
-        )
-        return jax.jit(solve_b), "bm"
     # engine == "vmap": jit(vmap(single-solve)) on the fused engine
     from mhpc_minimal_env_tpu.runtime.locomotion import MHPCLocomotion
 

@@ -1,15 +1,18 @@
 """Staged (host-orchestrated) batched HSDDP solver.
 
-`fused_hsddp_batched` compiles the ENTIRE solve — AL fori-loop x DDP
-fori-loop x regularization/line-search while-loops x three 720-step scans —
-into one XLA program.  On TPU that single program exceeded 9 minutes of
-XLA compile time in round 1 (BENCH_r01.json rc=124), because every loop
-body inlines the full rollout/linearize/backward graphs at multiple call
-sites.
+Compiling the ENTIRE solve — AL fori-loop x DDP fori-loop x
+regularization/line-search while-loops x three 720-step scans — into one
+XLA program exceeded 9 minutes of XLA compile time on TPU in round 1
+(BENCH_r01.json rc=124), because every loop body inlines the full
+rollout/linearize/backward graphs at multiple call sites.  (A batch-native
+single-program mirror, `fused_hsddp_batched`, existed through round 4 as a
+cross-check oracle; it was retired once this engine was pinned directly to
+jit(vmap(fused_hsddp.solve)) — see tests/test_staged.py.)
 
 This module keeps the numerics and the batch-synchronous masking semantics
-IDENTICAL to fused_hsddp_batched (same update equations, same thresholds,
-same reference citations — MultiPhaseDDP.cpp:154-289) but restructures the
+IDENTICAL to vmap of the per-scenario solver (same update equations, same
+thresholds, same reference citations — MultiPhaseDDP.cpp:154-289) but
+restructures the
 control flow so that compile time is the SUM of a handful of small
 programs AND the steady-state path needs ZERO host round-trips inside a
 solve (critical on a remote-tunneled TPU where each sync costs dispatch
@@ -43,7 +46,15 @@ from .fused import (
     initial_fused_alreb, make_fused_engine,
 )
 from .fused_hsddp import FusedSolveResult, LS_EPS_MIN, REG_MAX, REG_MIN
-from .fused_hsddp_batched import bwhere
+
+
+def bwhere(mask_b, a, b):
+    """tree_where with a (B,) mask broadcast against (B, ...) leaves."""
+    def sel(x, y):
+        m = mask_b.reshape((mask_b.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
 
 
 def _where_first(mask, x, y):
@@ -64,7 +75,7 @@ def build_staged_solver(specs, opt: HSDDPOptions, vel_cmd, ground_height,
                         dynamics: str = "sym",
                         structured_constraints: bool = True):
     """Returns solve_batched(x0_b: (B,14)) -> FusedSolveResult, numerically
-    identical to fused_hsddp_batched.build_fused_solver_batched.
+    identical to jit(vmap(fused_hsddp.solve)) modulo channel-last layout.
 
     acc_dtype: accumulator dtype for cost/violation scalars (see
     make_fused_engine) — the solver's discrete decisions (line-search

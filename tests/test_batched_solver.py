@@ -1,6 +1,9 @@
-"""Batch-native solver (fused_hsddp_batched) vs vmap of the per-scenario
-solver (fused_hsddp): both must produce the same solves — the batched module
-is the same masked program with the batch axis made explicit.
+"""Staged batch engine vs vmap of the per-scenario solver (fused_hsddp):
+both must produce the same solves — the staged engine is the same masked
+program with the batch axis made explicit (channel-last) and the loop
+driver hoisted to the host.  (This hop formerly pinned the retired
+batch-native mirror `fused_hsddp_batched`; the staged engine is now pinned
+directly — VERDICT r4 item 4.)
 
 Also checks f32 solution quality on the production (staged, channel-last)
 engine against the f64 solve.
@@ -12,9 +15,6 @@ import pytest
 
 from mhpc_minimal_env_tpu.runtime.locomotion import X0_DEFAULT
 from mhpc_minimal_env_tpu.solver.fused_hsddp import build_fused_solver
-from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
-    build_fused_solver_batched,
-)
 from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
 from mhpc_minimal_env_tpu.types import HSDDPOptions, PhaseSpec
 
@@ -36,23 +36,25 @@ def x0_batch(dtype):
         X0_DEFAULT[None] + 0.005 * rng.normal(size=(B, 14)), dtype)
 
 
-def test_batched_matches_vmap_f64():
+def test_staged_matches_vmap_f64():
     solve, _ = build_fused_solver(SPECS, OPT, 1.5, -0.404, 0.0, jnp.float64)
-    solve_b, _ = build_fused_solver_batched(
+    solve_b, _ = build_staged_solver(
         SPECS, OPT, 1.5, -0.404, 0.0, jnp.float64)
     x0 = x0_batch(jnp.float64)
     ref = jax.jit(jax.vmap(solve))(x0)
-    out = jax.jit(solve_b)(x0)
+    out = solve_b(x0)
+    # staged stores (T, ..., B) channel-last; vmap stores (B, T, ...)
+    cl = lambda a: np.moveaxis(np.asarray(a), -1, 0)
     np.testing.assert_array_equal(np.asarray(out.aborted),
                                   np.asarray(ref.aborted))
-    np.testing.assert_allclose(out.cost, ref.cost, rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(out.viol, ref.viol, rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(out.nominal.u, ref.nominal.u,
-                               rtol=1e-9, atol=1e-11)
-    np.testing.assert_allclose(out.nominal.x, ref.nominal.x,
-                               rtol=1e-9, atol=1e-11)
-    np.testing.assert_allclose(out.ctg.Kfb, ref.ctg.Kfb,
-                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(out.cost, ref.cost, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(out.viol, ref.viol, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(cl(out.nominal.u), ref.nominal.u,
+                               rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(cl(out.nominal.x), ref.nominal.x,
+                               rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(cl(out.ctg.Kfb), ref.ctg.Kfb,
+                               rtol=1e-7, atol=1e-7)
 
 
 def test_staged_f32_solution_quality():

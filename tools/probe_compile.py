@@ -94,15 +94,13 @@ def main():
         print(f"[probe] backward steady: {time.time()-t0:.3f}s", flush=True)
 
     if "solve_b4" in stages:
-        from mhpc_minimal_env_tpu.solver.fused_hsddp_batched import (
-            build_fused_solver_batched,
-        )
-        solve_b, _ = build_fused_solver_batched(
+        from mhpc_minimal_env_tpu.solver.staged import build_staged_solver
+        solve_b, _ = build_staged_solver(
             specs, problem.opt, problem.vel_cmd, problem.ground_height,
             problem.height_cmd, dtype)
         x0b = jnp.broadcast_to(x0, (B, 14))
         t0 = time.time()
-        res = jax.jit(solve_b)(x0b)
+        res = solve_b(x0b)
         res.cost.block_until_ready()
         print(f"[probe] solve_b{B} compile+run: {time.time()-t0:.1f}s", flush=True)
 
