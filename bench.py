@@ -61,7 +61,7 @@ def build_solver(engine, dtype, problem, lin_chunk):
             list(problem.specs), problem.opt, problem.vel_cmd,
             problem.ground_height, problem.height_cmd, dtype,
             lin_chunk=lin_chunk, acc_dtype=acc,
-            ls_fastpath=int(os.environ.get("MHPC_LS_K", "2")),
+            ls_fastpath=int(os.environ.get("MHPC_LS_K", "4")),
         )
         return solve_b, "cl"
     # engine == "vmap": jit(vmap(single-solve)) on the fused engine

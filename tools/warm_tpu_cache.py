@@ -55,10 +55,14 @@ def main():
           f"lin_chunk={lin_chunk} unroll={scan_unroll}", flush=True)
 
     problem = default_problem()
+    # MUST build with the same knobs as bench.py's worker (ls_fastpath from
+    # MHPC_LS_K) — a different K changes the ls_fused program and its cache
+    # key, leaving the bench to cold-compile it inside its rung budget.
     solve, eng = build_staged_solver(
         list(problem.specs), problem.opt, problem.vel_cmd,
         problem.ground_height, problem.height_cmd, dtype,
-        acc_dtype=acc_dtype, lin_chunk=lin_chunk, scan_unroll=scan_unroll)
+        acc_dtype=acc_dtype, lin_chunk=lin_chunk, scan_unroll=scan_unroll,
+        ls_fastpath=int(os.environ.get("MHPC_LS_K", "4")))
     plan, T, P = eng["plan"], eng["T"], eng["n_phases"]
     st = eng["stages"]
 
